@@ -1,0 +1,25 @@
+from mpopis_tpu.models.base import Env, EnvState, make_state
+from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, step_car_state
+from mpopis_tpu.models.cartpole import CartPoleEnv
+from mpopis_tpu.models.mountain_car import MountainCarEnv
+from mpopis_tpu.models.multi_car import MultiCarRacingEnv
+from mpopis_tpu.models.rollout import rollout_batch, rollout_one
+from mpopis_tpu.models.track import Track, distance_query, track_path
+
+__all__ = [
+    "Env",
+    "EnvState",
+    "make_state",
+    "CarParams",
+    "CarRacingEnv",
+    "car_reward",
+    "step_car_state",
+    "CartPoleEnv",
+    "MountainCarEnv",
+    "MultiCarRacingEnv",
+    "rollout_batch",
+    "rollout_one",
+    "Track",
+    "distance_query",
+    "track_path",
+]

@@ -1,0 +1,276 @@
+"""Policy step builders.
+
+`make_policy(env, cfg, ...)` compiles one device-resident program per control
+step: the full sample→rollout→reweight→moment-update AIS loop runs as a
+`lax.scan` over iterations, each iteration rolling all K candidate control
+sequences with vmap+scan (and, on a mesh, sharded over the sample axis).
+This replaces the reference's per-policy-functor object protocol
+(mppi_mpopi_policies.jl:121-146, :221-238) and its host-side AIS loops.
+
+Early stopping (the reference's `break` at e.g. :459-461) is implemented as
+masked pass-through iterations: once the stop flag is set, the carry —
+including that iteration's samples and costs, which the reference returns —
+flows through untouched, keeping the whole loop jit-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpopis_tpu.models.base import Env, EnvState
+from mpopis_tpu.models.rollout import rollout_batch
+from mpopis_tpu.ops.controls import roll_controls
+from mpopis_tpu.ops.weights import information_theoretic_weights
+from mpopis_tpu.policies.config import PolicyConfig, PolicyState, init_policy_state
+from mpopis_tpu.policies.strategies import AISCarry, CMAStrategy, NESStrategy, make_strategy
+
+
+def tree_select(pred, on_true, on_false):
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def _principal_sqrtm(sigma: np.ndarray) -> np.ndarray:
+    """Principal matrix square root via eigendecomposition (Julia's sqrt(Σ)
+    for symmetric PSD matrices, used by NES at mppi_mpopi_policies.jl:848)."""
+    w, v = np.linalg.eigh(sigma)
+    w = np.maximum(w, 0.0)
+    return (v * np.sqrt(w)[None, :]) @ v.T
+
+
+def _prepare_u0(u0, action_dim: int, cs: int) -> np.ndarray:
+    if u0 is None:
+        return np.zeros(cs)
+    u0 = np.asarray(u0, dtype=float).reshape(-1)
+    if u0.shape[0] == action_dim:
+        return np.tile(u0, cs // action_dim)
+    if u0.shape[0] == cs:
+        return u0
+    raise ValueError(
+        f"U0 must have length action_dim ({action_dim}) or cs ({cs}), got {u0.shape[0]}"
+    )
+
+
+def _prepare_cov(cov, action_dim: int) -> np.ndarray:
+    """Normalize covariance input to an (as, as) block (ref ctor :76-81)."""
+    if cov is None:
+        return np.eye(action_dim)
+    cov = np.asarray(cov, dtype=float)
+    if cov.ndim == 1:
+        cov = np.diag(cov)
+    return cov
+
+
+def _block_diag_np(a: np.ndarray, reps: int) -> np.ndarray:
+    d = a.shape[0]
+    out = np.zeros((d * reps, d * reps))
+    for i in range(reps):
+        out[i * d : (i + 1) * d, i * d : (i + 1) * d] = a
+    return out
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Policy:
+    """Compiled policy: a pure step function plus its construction data."""
+
+    env: Env
+    cfg: PolicyConfig
+    u0_flat: np.ndarray  # (cs,)
+    sigma: np.ndarray  # (cs,cs) for gmppi family, (as,as) for mppi
+    step: Callable[[EnvState, PolicyState], tuple]
+    """step(env_state, pol_state) -> (action (as,), new_pol_state, info)"""
+
+    def init_state(self, seed_or_key) -> PolicyState:
+        return init_policy_state(
+            jnp.asarray(self.u0_flat, dtype=self.env.dtype), seed_or_key
+        )
+
+
+def make_policy(
+    env: Env,
+    cfg: PolicyConfig,
+    u0=None,
+    cov_mat=None,
+    sample_sharding=None,
+    jit: bool = True,
+) -> Policy:
+    """Build a compiled policy step for `cfg.kind` on `env`.
+
+    `cov_mat` may be an (as,) variance vector, an (as,as) per-step block
+    (expanded block-diagonally over the horizon for the GMPPI family,
+    ref :76-78), or a full (cs,cs) joint covariance.
+    `sample_sharding` is an optional jax.sharding.NamedSharding whose first
+    axis shards the K candidate rollouts across a device mesh.
+    """
+    action_dim = env.action_dim
+    cs = action_dim * cfg.horizon
+    u0_flat = _prepare_u0(u0, action_dim, cs)
+    cov_block = _prepare_cov(cov_mat, action_dim)
+
+    if cfg.kind == "mppi":
+        if cov_block.shape[0] != action_dim:
+            raise ValueError("mppi expects an (as, as) covariance")
+        step = _make_mppi_step(env, cfg, u0_flat, cov_block, sample_sharding)
+        sigma = cov_block
+    else:
+        if cov_block.shape[0] == action_dim:
+            sigma = _block_diag_np(cov_block, cfg.horizon)
+        elif cov_block.shape[0] == cs:
+            sigma = cov_block
+        else:
+            raise ValueError("covariance must be (as,as)-block or (cs,cs)")
+        step = _make_gmppi_step(env, cfg, u0_flat, sigma, sample_sharding)
+
+    if jit:
+        step = jax.jit(step)
+    return Policy(env=env, cfg=cfg, u0_flat=u0_flat, sigma=sigma, step=step)
+
+
+# ---------------------------------------------------------------------------
+# GMPPI family (joint cs-dim Gaussian + AIS strategies)
+# ---------------------------------------------------------------------------
+
+def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
+    dtype = env.dtype
+    action_dim = env.action_dim
+    k_samples = cfg.num_samples
+    horizon = cfg.horizon
+    cs = action_dim * horizon
+    gamma = cfg.gamma
+    low, high = env.control_bounds
+    u0_j = jnp.asarray(u0_flat, dtype=dtype)
+    sigma0_j = jnp.asarray(sigma0, dtype=dtype)
+
+    strategy = make_strategy(cfg, cs, dtype)
+    if isinstance(strategy, NESStrategy):
+        extra0 = strategy.make_extra(
+            jnp.asarray(_principal_sqrtm(sigma0), dtype=dtype)
+        )
+    elif isinstance(strategy, CMAStrategy):
+        extra0 = strategy.make_extra(sigma0_j)
+    else:
+        extra0 = None
+
+    def constrain(x):
+        if sample_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, sample_sharding)
+        return x
+
+    def compute_costs(env_state, u_cur, e, chol, u_orig):
+        v = u_cur[:, None] + e  # (cs, K), unclamped candidates
+        controls = v.T.reshape(k_samples, horizon, action_dim)
+        controls = constrain(jnp.clip(controls, low, high))
+        base, trajs = rollout_batch(env, env_state, controls, cfg.log)
+        if gamma != 0.0:
+            # γ·U_origᵀ Σ⁻¹ (V_k − U_orig) with the *current* sampling Σ
+            # (ref :249, :272; Σ_inv = invcov of this iteration's P).
+            z = jax.scipy.linalg.cho_solve((chol, True), u_orig)
+            base = base + gamma * ((v - u_orig[:, None]).T @ z)
+        return base, trajs
+
+    chol0 = jnp.linalg.cholesky(sigma0_j)
+    n_its = cfg.opt_its if cfg.kind not in ("gmppi",) else 1
+
+    def policy_step(env_state: EnvState, pol_state: PolicyState):
+        u_orig = pol_state.U
+        key_next, k_loop = jax.random.split(pol_state.key)
+
+        carry0 = AISCarry(
+            U=u_orig,
+            chol=strategy.init_chol(chol0),
+            E=jnp.zeros((cs, k_samples), dtype=dtype),
+            costs=jnp.zeros((k_samples,), dtype=dtype),
+            trajs=(
+                jnp.zeros((k_samples, horizon, env.state_dim), dtype=dtype)
+                if cfg.log
+                else None
+            ),
+            done=jnp.asarray(False),
+            key=k_loop,
+            extra=extra0,
+        )
+
+        def body(carry, n):
+            key, k_samp, k_strat = jax.random.split(carry.key, 3)
+            z = jax.random.normal(k_samp, (cs, k_samples), dtype=dtype)
+            e = carry.chol @ z
+            costs, trajs = compute_costs(env_state, carry.U, e, carry.chol, u_orig)
+            base = carry.replace(E=e, costs=costs, trajs=trajs)
+            new, stop = strategy.update(base, k_strat, u_orig, n + 1)
+            is_last = n == n_its - 1
+            cand = tree_select(stop | is_last, base, new)
+            cand = cand.replace(done=stop)
+            out = tree_select(carry.done, carry, cand)
+            return out.replace(key=key), None
+
+        final, _ = jax.lax.scan(body, carry0, jnp.arange(n_its))
+
+        # Translate noise so it is relative to the original mean, restore U
+        # (ref :468-469 et al.), then apply the final softmax-weighted update.
+        e_final = final.E + (final.U - u_orig)[:, None]
+        weights = information_theoretic_weights(final.costs, cfg.lam)
+        weighted_controls = u_orig + e_final @ weights
+        action = jnp.clip(weighted_controls[:action_dim], low, high)
+        u_next = roll_controls(
+            weighted_controls, u0_j, action_dim, cfg.shift_quirk
+        )
+        info = {"costs": final.costs, "weights": weights}
+        if cfg.log:
+            info["trajectories"] = final.trajs
+        return action, PolicyState(U=u_next, key=key_next), info
+
+    return policy_step
+
+
+# ---------------------------------------------------------------------------
+# Classic MPPI (per-timestep as-dim Gaussian)
+# ---------------------------------------------------------------------------
+
+def _make_mppi_step(env, cfg, u0_flat, sigma_as, sample_sharding):
+    dtype = env.dtype
+    action_dim = env.action_dim
+    k_samples = cfg.num_samples
+    horizon = cfg.horizon
+    cs = action_dim * horizon
+    gamma = cfg.gamma
+    low, high = env.control_bounds
+    u0_j = jnp.asarray(u0_flat, dtype=dtype)
+    sigma_j = jnp.asarray(sigma_as, dtype=dtype)
+    chol_as = jnp.linalg.cholesky(sigma_j)
+    sigma_inv = jnp.linalg.inv(sigma_j)
+
+    def constrain(x):
+        if sample_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, sample_sharding)
+        return x
+
+    def policy_step(env_state: EnvState, pol_state: PolicyState):
+        key_next, k_samp = jax.random.split(pol_state.key)
+        z = jax.random.normal(k_samp, (k_samples, horizon, action_dim), dtype=dtype)
+        e = z @ chol_as.T  # E[k,t] ~ N(0, Σ_as) (ref :154-156)
+        u_mat = pol_state.U.reshape(horizon, action_dim)
+        controls = constrain(jnp.clip(u_mat[None, :, :] + e, low, high))
+        base, trajs = rollout_batch(env, env_state, controls, cfg.log)
+        costs = base
+        if gamma != 0.0:
+            # γ·uₜᵀ Σ⁻¹ εₖₜ summed over t (ref :167, :204)
+            costs = costs + gamma * jnp.einsum(
+                "ta,ab,ktb->k", u_mat, sigma_inv, e
+            )
+        weights = information_theoretic_weights(costs, cfg.lam)
+        weighted_noise = jnp.einsum("k,kta->ta", weights, e).reshape(cs)
+        weighted_controls = pol_state.U + weighted_noise
+        action = jnp.clip(weighted_controls[:action_dim], low, high)
+        u_next = roll_controls(
+            weighted_controls, u0_j, action_dim, cfg.shift_quirk
+        )
+        info = {"costs": costs, "weights": weights}
+        if cfg.log:
+            info["trajectories"] = trajs
+        return action, PolicyState(U=u_next, key=key_next), info
+
+    return policy_step

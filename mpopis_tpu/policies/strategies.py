@@ -1,0 +1,359 @@
+"""Adaptive-importance-sampling strategies.
+
+Each MPOPI variant is a small pure "strategy": given the current AIS carry
+(mean U, sampling-cov factor, this iteration's samples E and costs), produce
+the next carry and an early-stop flag. One scan-based driver
+(mpopis_tpu.policies.gmppi) runs any of them — mirroring the shared skeleton
+of the reference's calculate_trajectory_costs methods
+(mppi_mpopi_policies.jl:303-893) without duplicating the loop nine times.
+
+All updates are MXU-shaped: weighted covariances are (cs,K)x(K,cs) matmuls,
+never per-sample loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mpopis_tpu.ops.covariance import mean_and_cov, shrinkage_cov, weighted_mean_and_cov
+from mpopis_tpu.ops.sampling import multinomial_resample_indices
+from mpopis_tpu.ops.weights import information_theoretic_weights
+
+
+class AISCarry(struct.PyTreeNode):
+    U: jax.Array  # (cs,) current AIS mean
+    chol: jax.Array  # (cs,cs) lower factor of the current sampling cov
+    E: jax.Array  # (cs,K) last iteration's samples
+    costs: jax.Array  # (K,) last iteration's trajectory costs
+    trajs: Any  # (K,T,ss) logged states or None
+    done: jax.Array  # () bool — AIS early-stopped
+    key: jax.Array
+    extra: Any  # strategy-specific state
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Strategy:
+    """A no-op strategy (plain GMPPI: single-iteration, no adaptation)."""
+
+    cfg: Any
+    cs: int
+    num_samples: int
+    dtype: Any
+
+    def init_extra(self):
+        return None
+
+    def init_chol(self, chol0: jnp.ndarray) -> jnp.ndarray:
+        return chol0
+
+    def update(self, carry: AISCarry, key, u_orig, it_index):
+        """Returns (updated carry, stop_now). `carry` already holds this
+        iteration's E/costs/trajs; `it_index` is the 1-based iteration
+        number (the reference's loop variable n, which CMA reads)."""
+        return carry, jnp.asarray(False)
+
+
+def _jittered(sigma: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    return sigma + jitter * jnp.eye(sigma.shape[0], dtype=sigma.dtype)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MeanOnlyStrategy(Strategy):
+    """IMPPI (λ = policy λ) and μ-AIS (decoupled λ_ais): weighted moment
+    matching of the mean only; Σ stays fixed.
+    Ref: mppi_mpopi_policies.jl:347-373 and :644-671."""
+
+    inner_lam: float = 1.0
+
+    def update(self, carry, key, u_orig, it_index):
+        ws = information_theoretic_weights(carry.costs, self.inner_lam)
+        mu, _ = weighted_mean_and_cov(carry.E, ws)
+        return carry.replace(U=carry.U + mu), jnp.asarray(False)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MeanCovStrategy(Strategy):
+    """μΣ-AIS: weighted moment matching of mean and covariance with jitter.
+    Ref: mppi_mpopi_policies.jl:709-742."""
+
+    inner_lam: float = 20.0
+
+    def update(self, carry, key, u_orig, it_index):
+        ws = information_theoretic_weights(carry.costs, self.inner_lam)
+        mu, sigma = weighted_mean_and_cov(carry.E, ws)
+        sigma = _jittered(sigma, self.cfg.cov_jitter)
+        return (
+            carry.replace(U=carry.U + mu, chol=jnp.linalg.cholesky(sigma)),
+            jnp.asarray(False),
+        )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PMCStrategy(Strategy):
+    """Population Monte Carlo: multinomial resampling of the sample columns,
+    then unweighted (corrected) moments. Ref: mppi_mpopi_policies.jl:782-817."""
+
+    inner_lam: float = 20.0
+
+    def update(self, carry, key, u_orig, it_index):
+        ws = information_theoretic_weights(carry.costs, self.inner_lam)
+        idx = multinomial_resample_indices(key, ws, self.num_samples)
+        e_res = carry.E[:, idx]
+        mu, sigma = mean_and_cov(e_res, corrected=True)
+        sigma = _jittered(sigma, self.cfg.cov_jitter)
+        return (
+            carry.replace(U=carry.U + mu, chol=jnp.linalg.cholesky(sigma)),
+            jnp.asarray(False),
+        )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CrossEntropyStrategy(Strategy):
+    """CE-MPOPI: elite selection, shrinkage Σ refit, elite-mean shift, and
+    early stop on flat elite costs. Ref: mppi_mpopi_policies.jl:434-472."""
+
+    m_elite: int = 10
+
+    def update(self, carry, key, u_orig, it_index):
+        order = jnp.argsort(carry.costs)
+        elite_idx = order[: self.m_elite]
+        elite = carry.E[:, elite_idx]  # (cs, m)
+        elite_costs = carry.costs[elite_idx]
+        stop = jnp.max(jnp.abs(jnp.diff(elite_costs))) < self.cfg.elite_stop_tol
+        sigma = shrinkage_cov(elite.T, self.cfg.sigma_est)
+        sigma = _jittered(sigma, self.cfg.cov_jitter)
+        new = carry.replace(
+            U=carry.U + jnp.mean(elite, axis=1),
+            chol=jnp.linalg.cholesky(sigma),
+        )
+        return new, stop
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CMAStrategy(Strategy):
+    """CMA-ES adaptation per control step. Ref: mppi_mpopi_policies.jl:478-606.
+
+    Constants (log-rank weights, μ_eff, cσ, dσ, cΣ, c1, cμ, E[‖N(0,I)‖])
+    follow the reference ctor (:513-525). The rank-μ term reproduces the
+    reference's degenerate scalar form by default (it linearly indexes the
+    cs×m_elite elite matrix with sample ranks up to K — column-major scalar
+    gathers — so the update adds a scalar to every Σ entry, :588-598);
+    cfg.cma_rank_mu_quirk=False switches to the textbook rank-μ outer-product
+    update.
+    """
+
+    sigma0: float = 1.0
+    m_elite: int = 10
+    ws: np.ndarray = None  # (K,)
+    mu_eff: float = 0.0
+    c_sigma: float = 0.0
+    d_sigma: float = 0.0
+    c_Sigma: float = 0.0
+    c1: float = 0.0
+    c_mu: float = 0.0
+    e_norm: float = 0.0
+
+    @staticmethod
+    def constants(num_samples: int, cs: int, elite_perc_threshold: float):
+        m = num_samples
+        n = cs
+        m_elite = int(round((1.0 - elite_perc_threshold) * m))
+        ws = np.log((m + 1) / 2.0) - np.log(np.arange(1, m + 1))
+        ws[:m_elite] = ws[:m_elite] / np.sum(ws[:m_elite])
+        mu_eff = 1.0 / np.sum(ws[:m_elite] ** 2)
+        c_sigma = (mu_eff + 2.0) / (n + mu_eff + 5.0)
+        d_sigma = (
+            1.0
+            + 2.0 * max(0.0, np.sqrt((mu_eff - 1.0) / (n + 1.0)) - 1.0)
+            + c_sigma
+        )
+        c_Sigma = (4.0 + mu_eff / n) / (n + 4.0 + 2.0 * mu_eff / n)
+        c1 = 2.0 / ((n + 1.3) ** 2 + mu_eff)
+        c_mu = min(
+            1.0 - c1, 2.0 * (mu_eff - 2.0 + 1.0 / mu_eff) / ((n + 2.0) ** 2 + mu_eff)
+        )
+        tail = ws[m_elite:]
+        ws[m_elite:] = tail * (-(1.0 + c1 / c_mu) / np.sum(tail))
+        e_norm = n**0.5 * (1.0 - 1.0 / (4.0 * n) + 1.0 / (21.0 * n**2))
+        return dict(
+            m_elite=m_elite,
+            ws=ws,
+            mu_eff=mu_eff,
+            c_sigma=c_sigma,
+            d_sigma=d_sigma,
+            c_Sigma=c_Sigma,
+            c1=c1,
+            c_mu=c_mu,
+            e_norm=e_norm,
+        )
+
+    def init_extra(self):
+        raise RuntimeError("CMA extra must be built from Σ0 by the driver")
+
+    def make_extra(self, sigma0_mat: jnp.ndarray):
+        return dict(
+            Sigma=sigma0_mat,
+            sigma=jnp.asarray(self.sigma0, dtype=self.dtype),
+            p_sigma=jnp.zeros((self.cs,), dtype=self.dtype),
+            p_Sigma=jnp.zeros((self.cs,), dtype=self.dtype),
+        )
+
+    def init_chol(self, chol0: jnp.ndarray) -> jnp.ndarray:
+        # samples from N(0, σ²Σ) when N > 1 (ref :550-554)
+        if self.cfg.opt_its > 1:
+            return self.sigma0 * chol0
+        return chol0
+
+    def update(self, carry, key, u_orig, it_index):
+        cfg = self.cfg
+        cs = self.cs
+        ex = carry.extra
+        sigma_s, Sigma = ex["sigma"], ex["Sigma"]
+        ws = jnp.asarray(self.ws, dtype=self.dtype)
+
+        order = jnp.argsort(carry.costs)
+        elite_idx = order[: self.m_elite]
+        elite_e = carry.E[:, elite_idx]
+        elite_costs = carry.costs[elite_idx]
+        stop = jnp.max(jnp.abs(jnp.diff(elite_costs))) < cfg.elite_stop_tol
+
+        ds = elite_e / sigma_s  # δs (ref :572)
+        dw = elite_e @ ws[: self.m_elite]  # δw (ref :573-576)
+        u_new = carry.U + sigma_s * dw
+
+        # C = Σ^{-1/2} via eigendecomposition (ref :580 uses Σ^-0.5)
+        evals, evecs = jnp.linalg.eigh(Sigma)
+        inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(evals, 1e-30))
+        c_mat = (evecs * inv_sqrt[None, :]) @ evecs.T
+
+        p_sigma = (1.0 - self.c_sigma) * ex["p_sigma"] + jnp.sqrt(
+            self.c_sigma * (2.0 - self.c_sigma) * self.mu_eff
+        ) * (c_mat @ dw)
+        norm_ps = jnp.sqrt(jnp.sum(p_sigma**2))
+        sigma_new = sigma_s * jnp.exp(
+            self.c_sigma / self.d_sigma * (norm_ps / self.e_norm - 1.0)
+        )
+
+        # hσ uses the 1-based iteration number (the reference's loop var n)
+        it_f = it_index.astype(self.dtype)
+        denom = jnp.sqrt(1.0 - (1.0 - self.c_sigma) ** (2.0 * it_f))
+        h_sigma = (
+            norm_ps / denom < (1.4 + 2.0 / (cs + 1.0)) * self.e_norm
+        ).astype(self.dtype)
+        p_Sigma = (1.0 - self.c_Sigma) * ex["p_Sigma"] + h_sigma * jnp.sqrt(
+            self.c_Sigma * (2.0 - self.c_Sigma) * self.mu_eff
+        ) * dw
+
+        if cfg.cma_rank_mu_quirk:
+            # Reference :588-598: δs[order[ii]] is a *scalar* (column-major
+            # linear index into the cs×m_elite elite matrix with a sample
+            # rank in 1..K), so the rank-μ term collapses to a scalar added
+            # to every entry of Σ. Reproduced exactly; w0's `n` is the
+            # iteration number.
+            ds_flat = ds.T.reshape(-1)  # column-major flatten of (cs, m)
+            svals = ds_flat[order]  # (K,) scalar gathers
+            norm_c2 = jnp.sum(c_mat * c_mat)  # ‖C·s‖² = s²‖C‖_F²
+            w0 = jnp.where(
+                ws >= 0.0,
+                ws,
+                it_f * ws / jnp.maximum(norm_c2 * svals**2, 1e-30),
+            )
+            rank_mu = jnp.sum(w0 * svals**2)  # scalar
+        else:
+            # Textbook rank-μ: outer products of all K sorted normalized
+            # steps, negative weights scaled by cs/‖C y‖².
+            y = carry.E[:, order] / sigma_s  # (cs, K)
+            cy = c_mat @ y
+            ncy2 = jnp.sum(cy * cy, axis=0)
+            w0 = jnp.where(ws >= 0.0, ws, cs * ws / jnp.maximum(ncy2, 1e-30))
+            rank_mu = (y * w0[None, :]) @ y.T
+
+        Sigma_new = (
+            (1.0 - self.c1 - self.c_mu) * Sigma
+            + self.c1
+            * (
+                jnp.outer(p_Sigma, p_Sigma)
+                + (1.0 - h_sigma) * self.c_Sigma * (2.0 - self.c_Sigma) * Sigma
+            )
+            + self.c_mu * rank_mu
+        )
+        Sigma_new = jnp.triu(Sigma_new) + jnp.triu(Sigma_new, 1).T  # symmetry
+
+        if cfg.opt_its > 1:
+            chol_new = sigma_new * jnp.linalg.cholesky(
+                _jittered(Sigma_new, cfg.cov_jitter)
+            )
+        else:
+            chol_new = carry.chol
+        new = carry.replace(
+            U=u_new,
+            chol=chol_new,
+            extra=dict(
+                Sigma=Sigma_new, sigma=sigma_new, p_sigma=p_sigma, p_Sigma=p_Sigma
+            ),
+        )
+        return new, stop
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class NESStrategy(Strategy):
+    """Natural evolution strategies: analytic log-density gradients w.r.t.
+    μ and A=√Σ, gradient descent with step_factor, early stop on flat costs.
+    Ref: mppi_mpopi_policies.jl:853-893."""
+
+    def make_extra(self, a0_mat: jnp.ndarray):
+        return dict(A=a0_mat)
+
+    def update(self, carry, key, u_orig, it_index):
+        cfg = self.cfg
+        k = self.num_samples
+        # early stop on raw (unsorted) adjacent cost differences (ref :872)
+        stop = jnp.max(jnp.abs(jnp.diff(carry.costs))) < cfg.elite_stop_tol
+
+        a_mat = carry.extra["A"]
+        eye = jnp.eye(self.cs, dtype=self.dtype)
+        sigma_inv = jax.scipy.linalg.cho_solve((carry.chol, True), eye)
+        e = carry.E
+        c = carry.costs
+        g_mu = sigma_inv @ (e @ c)  # Σ_k Σ⁻¹E_k c_k (ref :880)
+        g = (e * c[None, :]) @ e.T  # Σ_k c_k E_k E_kᵀ
+        m = 0.5 * (sigma_inv @ g @ sigma_inv) - 0.5 * jnp.sum(c) * sigma_inv
+        grad_a = a_mat @ (m + m.T)  # ref :881-882 accumulated
+        a_new = a_mat - (cfg.nes_step_factor / k) * grad_a / k  # double /K, ref :884
+        sigma_new = a_new.T @ a_new
+        u_new = carry.U - (cfg.nes_step_factor / k) * g_mu
+        chol_new = jnp.linalg.cholesky(_jittered(sigma_new, cfg.cov_jitter))
+        new = carry.replace(U=u_new, chol=chol_new, extra=dict(A=a_new))
+        return new, stop
+
+
+def make_strategy(cfg, cs: int, dtype) -> Strategy:
+    """Build the strategy for cfg.kind (gmppi-family kinds only)."""
+    k = cfg.num_samples
+    base = dict(cfg=cfg, cs=cs, num_samples=k, dtype=dtype)
+    kind = cfg.kind
+    if kind == "gmppi":
+        return Strategy(**base)
+    if kind == "imppi":
+        return MeanOnlyStrategy(**base, inner_lam=cfg.lam)
+    if kind == "muaismppi":
+        return MeanOnlyStrategy(**base, inner_lam=cfg.lambda_ais)
+    if kind == "musigmaaismppi":
+        return MeanCovStrategy(**base, inner_lam=cfg.lambda_ais)
+    if kind == "pmcmppi":
+        return PMCStrategy(**base, inner_lam=cfg.lambda_ais)
+    if kind == "cemppi":
+        m_elite = int(round(k * (1.0 - cfg.ce_elite_threshold)))
+        return CrossEntropyStrategy(**base, m_elite=max(m_elite, 2))
+    if kind == "cmamppi":
+        consts = CMAStrategy.constants(k, cs, cfg.cma_elite_threshold)
+        return CMAStrategy(**base, sigma0=cfg.cma_sigma, **consts)
+    if kind == "nesmppi":
+        return NESStrategy(**base)
+    raise ValueError(f"no AIS strategy for kind {kind!r}")

@@ -1,0 +1,84 @@
+"""Benchmark: car-racing control throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric (BASELINE.json): control steps/s per chip at 8192 samples on
+the car-racing task (CEMPPI, horizon 50, ais_its 10 — the reference's
+default config at examples/car_example.jl:51-68, scaled to 8192 samples).
+vs_baseline divides by the only wall-clock the reference publishes:
+~2.56 control steps/s (HalfCheetah CEMPPI trial, README.md:90-95; the
+reference has no faster published config at any sample count).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
+
+
+def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
+                     steps: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import CarRacingEnv
+    from mpopis_tpu.policies import PolicyConfig, make_policy
+
+    env = CarRacingEnv(dtype=jnp.float32)
+    cfg = PolicyConfig(
+        kind="cemppi",
+        num_samples=num_samples,
+        horizon=horizon,
+        lam=10.0,
+        alpha=1.0,
+        opt_its=ais_its,
+        ce_elite_threshold=0.8,
+        sigma_est="ss",
+    )
+    pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
+
+    @jax.jit
+    def mpc_step(env_state, pol_state):
+        action, pol_state, _ = pol.step(env_state, pol_state)
+        return env.step(env_state, action), pol_state
+
+    s = env.reset()
+    ps = pol.init_state(1)
+    for _ in range(warmup):
+        s, ps = mpc_step(s, ps)
+    jax.block_until_ready(s.x)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s, ps = mpc_step(s, ps)
+    jax.block_until_ready(s.x)
+    dt = time.perf_counter() - t0
+    assert bool(np.isfinite(np.asarray(s.x)).all())
+    return steps / dt
+
+
+def main() -> None:
+    sps_8192 = bench_car_racing(8192)
+    sps_150 = bench_car_racing(150)
+    print(
+        json.dumps(
+            {
+                "metric": "car_racing_control_steps_per_s_K8192_H50",
+                "value": round(sps_8192, 3),
+                "unit": "control_steps/s",
+                "vs_baseline": round(sps_8192 / BASELINE_STEPS_PER_S, 2),
+                "details": {
+                    "K150_H50_steps_per_s": round(sps_150, 3),
+                    "baseline_steps_per_s": round(BASELINE_STEPS_PER_S, 3),
+                    "config": "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Command-line interface.
+
+The reference has no CLI (pure kwargs on simulate_* in a Julia REPL); this
+exposes the same drivers and parameter names as subcommands:
+
+    python -m mpopis_tpu car --policy cemppi --samples 150 --horizon 50
+    python -m mpopis_tpu mountaincar --policy mppi --trials 3
+    python -m mpopis_tpu cartpole --policy cmamppi
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mpopis_tpu.policies.config import POLICY_KINDS
+
+
+def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float):
+    p.add_argument("--policy", default="cemppi", help=f"one of {POLICY_KINDS}")
+    p.add_argument("--trials", type=int, default=1)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--samples", type=int, default=samples)
+    p.add_argument("--horizon", type=int, default=horizon)
+    p.add_argument("--lam", type=float, default=lam)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--ais-its", type=int, default=10)
+    p.add_argument("--lambda-ais", type=float, default=20.0)
+    p.add_argument("--ce-elite-threshold", type=float, default=0.8)
+    p.add_argument("--ce-sigma-est", default="ss")
+    p.add_argument("--cma-sigma", type=float, default=0.75)
+    p.add_argument("--cma-elite-threshold", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--f64", action="store_true", help="use float64 (needs JAX_ENABLE_X64)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="mpopis_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    car = sub.add_parser("car", help="single/multi car racing")
+    _common(car, 150, 50, 10.0)
+    car.add_argument("--cars", type=int, default=1)
+    car.add_argument("--laps", type=int, default=2)
+    car.add_argument("--track", default="curve")
+    car.add_argument("--state-x-sigma", type=float, default=0.0)
+    car.add_argument("--state-y-sigma", type=float, default=0.0)
+    car.add_argument("--state-psi-sigma", type=float, default=0.0)
+    car.add_argument("--save-gif", action="store_true")
+    car.add_argument("--plot-traj", action="store_true")
+
+    mc = sub.add_parser("mountaincar", help="continuous mountain car")
+    _common(mc, 20, 15, 0.1)
+
+    cp = sub.add_parser("cartpole", help="continuous cart-pole")
+    _common(cp, 20, 15, 0.1)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from mpopis_tpu.harness import simulate
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    common = dict(
+        num_trials=args.trials,
+        num_steps=args.steps,
+        policy_type=args.policy,
+        num_samples=args.samples,
+        horizon=args.horizon,
+        lam=args.lam,
+        alpha=args.alpha,
+        ais_its=args.ais_its,
+        lambda_ais=args.lambda_ais,
+        ce_elite_threshold=args.ce_elite_threshold,
+        ce_sigma_est=args.ce_sigma_est,
+        cma_sigma=args.cma_sigma,
+        cma_elite_threshold=args.cma_elite_threshold,
+        seed=args.seed,
+        dtype=dtype,
+    )
+    if args.cmd == "car":
+        simulate.simulate_car_racing(
+            num_cars=args.cars,
+            laps=args.laps,
+            track=args.track,
+            state_x_sigma=args.state_x_sigma,
+            state_y_sigma=args.state_y_sigma,
+            state_psi_sigma=args.state_psi_sigma,
+            save_gif=args.save_gif,
+            plot_traj=args.plot_traj,
+            **common,
+        )
+    elif args.cmd == "mountaincar":
+        common.setdefault("lambda_ais", 0.1)
+        simulate.simulate_mountaincar(**common)
+    elif args.cmd == "cartpole":
+        simulate.simulate_cartpole(**common)
+    return 0

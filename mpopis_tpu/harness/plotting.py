@@ -1,0 +1,124 @@
+"""Track/car/trajectory visualization and gif export (matplotlib + imageio).
+
+Parity with the reference's Plots.jl stack (envs/plots.jl): filled track
+polygon with boundary lines (:2-30), rotated car rectangle with heading
+arrow and optional telemetry text (:32-94), sampled-trajectory overlays
+color-graded by weight rank with an RdYlGn map (:96-126), multi-car variants
+(:128-170), and 10 fps gif export (car_example.jl:412-415).
+"""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+from mpopis_tpu.models import CarRacingEnv, MultiCarRacingEnv, Track
+
+_CAR_COLORS = ["tab:blue", "tab:orange", "tab:purple", "tab:red", "tab:brown", "tab:pink", "tab:cyan"]
+
+
+def plot_track(track: Track, ax=None):
+    if ax is None:
+        _, ax = plt.subplots(figsize=(9, 9))
+    lb, rb = track.boundary_left, track.boundary_right
+    poly = np.concatenate([lb, rb[::-1]], axis=0)
+    ax.set_facecolor("#9fd49f")
+    ax.fill(poly[:, 0], poly[:, 1], color="grey", lw=0, zorder=1)
+    ax.plot(lb[:, 0], lb[:, 1], color="black", lw=2, zorder=2)
+    ax.plot(rb[:, 0], rb[:, 1], color="black", lw=2, zorder=2)
+    allx = np.concatenate([lb[:, 0], rb[:, 0]])
+    ally = np.concatenate([lb[:, 1], rb[:, 1]])
+    ax.set_xlim(allx.min() - 10, allx.max() + 10)
+    ax.set_ylim(ally.min() - 10, ally.max() + 10)
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_car(params, state_vec, ax, color_idx: int = 0):
+    """Rotated car rectangle + heading arrow (plots.jl:32-72)."""
+    x, y, psi = state_vec[0], state_vec[1], state_vec[2]
+    l_f, l_r = params.l_f, params.l_r
+    w = (l_f + l_r) * 0.4
+    rot = np.array([[np.cos(psi), -np.sin(psi)], [np.sin(psi), np.cos(psi)]])
+    corners = np.array(
+        [[l_f, w / 2], [l_f, -w / 2], [-l_r, -w / 2], [-l_r, w / 2], [l_f, w / 2]]
+    )
+    pts = corners @ rot.T + np.array([x, y])
+    color = _CAR_COLORS[color_idx % len(_CAR_COLORS)]
+    ax.plot(pts[:, 0], pts[:, 1], lw=2, color=color, zorder=4)
+    r = (l_f + l_r) * 0.8
+    tail = rot @ np.array([-l_r * 0.8, 0.0]) + np.array([x, y])
+    ax.annotate(
+        "",
+        xy=(tail[0] + r * np.cos(psi), tail[1] + r * np.sin(psi)),
+        xytext=(tail[0], tail[1]),
+        arrowprops=dict(arrowstyle="->", color="black", lw=1.2),
+        zorder=5,
+    )
+    return ax
+
+
+def plot_trajectories(ax, trajectories, weights, perc: float = 1.0, num_cars: int = 1):
+    """Overlay sampled trajectories color-graded by weight rank
+    (plots.jl:96-126): greener = higher weight."""
+    trajs = np.asarray(trajectories)  # (K, T, ss)
+    w = np.asarray(weights)
+    k = len(w)
+    order = np.argsort(-w)
+    cmap = plt.get_cmap("RdYlGn")
+    stride = max(int(round(1.0 / max(perc, 1e-6))), 1)
+    ss_per_car = trajs.shape[-1] // num_cars
+    for rank, idx in enumerate(order):
+        if rank == 0 or rank % stride:
+            continue
+        col = cmap((k - rank) / k)
+        for c in range(num_cars):
+            off = c * ss_per_car
+            ax.plot(
+                trajs[idx, :, off], trajs[idx, :, off + 1],
+                lw=0.3, color=col, zorder=3, alpha=0.8,
+            )
+    return ax
+
+
+def render_frame(env, state, info=None, plot_traj_perc: float = 1.0):
+    """One animation frame: track + car(s) (+ trajectory overlays)."""
+    fig, ax = plt.subplots(figsize=(9, 9))
+    plot_track(env.track, ax)
+    xs = np.asarray(state.x)
+    if isinstance(env, MultiCarRacingEnv):
+        cars = xs.reshape(env.num_cars, 8)
+        for i, car in enumerate(cars):
+            plot_car(env.params, car, ax, color_idx=i)
+        n_cars = env.num_cars
+    else:
+        plot_car(env.params, xs, ax)
+        n_cars = 1
+    if info is not None and "trajectories" in info:
+        plot_trajectories(
+            ax, info["trajectories"], info["weights"], plot_traj_perc, n_cars
+        )
+    ax.set_xticks([])
+    ax.set_yticks([])
+    fig.tight_layout(pad=0)
+    return fig
+
+
+def figure_to_array(fig) -> np.ndarray:
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    return buf[:, :, :3].copy()
+
+
+def close(fig) -> None:
+    plt.close(fig)
+
+
+def save_gif(frames, path: str, fps: int = 10) -> None:
+    import imageio.v2 as imageio
+
+    imageio.mimsave(path, frames, fps=fps, loop=0)

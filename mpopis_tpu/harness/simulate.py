@@ -1,0 +1,429 @@
+"""Experiment drivers — capability parity with the reference's example
+harness: config banner, per-trial seeded runs, violation/lap bookkeeping,
+AVE/STD/MED/L95/U95/MIN/MAX summary tables, optional trajectory plots/gifs.
+
+Ref: examples/car_example.jl (simulate_car_racing), mountaincar_example.jl,
+cartpole_example.jl. The MPC loop runs host-side (one jitted policy call per
+control step), exactly like the reference's `act = pol(env); env(act)` loop —
+but each policy call is a single device-resident program.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpopis_tpu.harness.factory import get_policy
+from mpopis_tpu.harness.stats import SUMMARY_ROWS, summary_value
+from mpopis_tpu.models import CarRacingEnv, CartPoleEnv, MountainCarEnv, MultiCarRacingEnv
+from mpopis_tpu.policies.config import canonical_kind
+
+_AIS_KINDS = {"imppi", "cemppi", "cmamppi", "muaismppi", "musigmaaismppi", "pmcmppi", "nesmppi"}
+_LAMBDA_AIS_KINDS = {"muaismppi", "musigmaaismppi", "pmcmppi"}
+
+
+def _print(enabled: bool, fmt: str, *args) -> None:
+    if enabled:
+        print(fmt % args if args else fmt, flush=True)
+
+
+def _banner(
+    enabled,
+    sim_type,
+    policy_type,
+    num_trials,
+    num_steps,
+    num_samples,
+    horizon,
+    lam,
+    alpha,
+    ais_its,
+    lambda_ais,
+    ce_elite_threshold,
+    ce_sigma_est,
+    cma_sigma,
+    cma_elite_threshold,
+    seed,
+    extra=(),
+):
+    kind = canonical_kind(policy_type)
+    _print(enabled, "")
+    _print(enabled, "%-30s%s", "Sim Type:", sim_type)
+    for label, value in extra:
+        _print(enabled, "%-30s%s", label, value)
+    _print(enabled, "%-30s%d", "Num Trails:", num_trials)
+    _print(enabled, "%-30s%d", "Num Steps:", num_steps)
+    _print(enabled, "%-30s%s", "Policy Type:", policy_type)
+    _print(enabled, "%-30s%d", "Num samples", num_samples)
+    _print(enabled, "%-30s%d", "Horizon", horizon)
+    _print(enabled, "%-30s%.2f", "λ (inverse temp):", lam)
+    _print(enabled, "%-30s%.2f", "α (control cost param):", alpha)
+    if kind in _AIS_KINDS:
+        _print(enabled, "%-30s%d", "# AIS Iterations:", ais_its)
+        if kind in _LAMBDA_AIS_KINDS:
+            _print(enabled, "%-30s%.2f", "λ_ais (ais inverse temp):", lambda_ais)
+        elif kind == "cemppi":
+            _print(enabled, "%-30s%.2f", "CE Elite Threshold:", ce_elite_threshold)
+            _print(enabled, "%-30s%s", "CE Σ Est Method:", ce_sigma_est)
+        elif kind == "cmamppi":
+            _print(enabled, "%-30s%.2f", "CMA Step Factor (σ):", cma_sigma)
+            _print(enabled, "%-30s%.2f", "CMA Elite Perc Thres:", cma_elite_threshold)
+    _print(enabled, "%-30s%d", "Seed:", seed)
+    _print(enabled, "")
+
+
+def _summary_table(enabled, metrics: dict, order: list[str]):
+    """Print AVE/STD/MED/L95/U95/MIN/MAX rows over trials for each metric."""
+    for row in SUMMARY_ROWS:
+        vals = " : ".join(
+            f"{summary_value(row, metrics[name]):12.2f}" for name in order
+        )
+        _print(enabled, "Trials %3s: %s", row, vals)
+
+
+def _default_seed() -> int:
+    return int(np.random.randint(1, 10**10))
+
+
+# ---------------------------------------------------------------------------
+# MountainCar / CartPole
+# ---------------------------------------------------------------------------
+
+def _simulate_simple(
+    env,
+    sim_type: str,
+    *,
+    num_trials=1,
+    num_steps=200,
+    policy_type="cemppi",
+    num_samples=20,
+    horizon=15,
+    lam=0.1,
+    alpha=1.0,
+    u0=(0.0,),
+    cov_mat=(1.5,),
+    ais_its=5,
+    lambda_ais=0.1,
+    ce_elite_threshold=0.8,
+    ce_sigma_est="mle",
+    cma_sigma=0.75,
+    cma_elite_threshold=0.8,
+    seed=None,
+    log_runs=True,
+    pol_log=False,
+    print_output=True,
+):
+    if seed is None:
+        seed = _default_seed()
+    _banner(
+        print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
+        horizon, lam, alpha, ais_its, lambda_ais, ce_elite_threshold,
+        ce_sigma_est, cma_sigma, cma_elite_threshold, seed,
+    )
+    _print(print_output, "Trial    #: %12s : %7s: %12s : %7s", "Reward", "Steps", "Reward/Step", "Ex Time")
+
+    pol = get_policy(
+        policy_type, env, num_samples, horizon, lam, alpha, list(u0), list(cov_mat),
+        pol_log, ais_its, lambda_ais, ce_elite_threshold, ce_sigma_est,
+        cma_sigma, cma_elite_threshold,
+    )
+
+    rews = np.zeros(num_trials)
+    steps = np.zeros(num_trials)
+    exec_times = np.zeros(num_trials)
+    for k in range(1, num_trials + 1):
+        ps = pol.init_state(seed + k)
+        s = env.reset(jax.random.PRNGKey(seed + k))
+        t0 = time.perf_counter()
+        rew, cnt = 0.0, 0
+        while not bool(s.done) and cnt <= num_steps:
+            act, ps, _ = pol.step(s, ps)
+            s = env.step(s, act)
+            cnt += 1
+            rew += float(env.reward(s))
+        dt = time.perf_counter() - t0
+        rews[k - 1] = rew
+        steps[k - 1] = cnt - 1
+        exec_times[k - 1] = dt
+        if log_runs:
+            _print(
+                print_output, "Trial %4d: %12.2f : %7d: %12.2f : %7.2f",
+                k, rew, cnt - 1, rew / max(cnt - 1, 1), dt,
+            )
+
+    metrics = {
+        "rewards": rews,
+        "steps": steps,
+        "rewards_per_step": rews / np.maximum(steps, 1),
+        "exec_times": exec_times,
+    }
+    _print(print_output, "-----------------------------------")
+    _summary_table(print_output, metrics, ["rewards", "steps", "rewards_per_step", "exec_times"])
+    return metrics
+
+
+def simulate_mountaincar(**kwargs):
+    """Parity driver for mountaincar_example.jl:49-207."""
+    import jax.numpy as jnp
+
+    dtype = kwargs.pop("dtype", jnp.float32)
+    env = MountainCarEnv(dtype=dtype)
+    return _simulate_simple(env, "MountainCar", **kwargs)
+
+
+def simulate_cartpole(**kwargs):
+    """Parity driver for cartpole_example.jl:33-187."""
+    import jax.numpy as jnp
+
+    dtype = kwargs.pop("dtype", jnp.float32)
+    env = CartPoleEnv(dtype=dtype)
+    return _simulate_simple(env, "CartPole", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Car racing (single + multi)
+# ---------------------------------------------------------------------------
+
+def simulate_car_racing(
+    *,
+    num_trials=1,
+    num_steps=200,
+    num_cars=1,
+    policy_type="cemppi",
+    laps=2,
+    num_samples=150,
+    horizon=50,
+    lam=10.0,
+    alpha=1.0,
+    u0=None,
+    cov_mat=None,
+    ais_its=10,
+    lambda_ais=20.0,
+    ce_elite_threshold=0.8,
+    ce_sigma_est="ss",
+    cma_sigma=0.75,
+    cma_elite_threshold=0.8,
+    state_x_sigma=0.0,
+    state_y_sigma=0.0,
+    state_psi_sigma=0.0,
+    seed=None,
+    log_runs=True,
+    pol_log=False,
+    plot_traj=False,
+    plot_traj_perc=1.0,
+    save_gif=False,
+    gif_name=None,
+    track="curve",
+    print_output=True,
+    dtype=None,
+    sample_sharding=None,
+):
+    """Parity driver for car_example.jl:51-416.
+
+    Violation accounting, lap detection, and trial summary replicate
+    car_example.jl:203-281; per-trial seeding follows :187-188 (seed + k).
+    """
+    if seed is None:
+        seed = _default_seed()
+    if dtype is None:
+        dtype = jnp.float32
+    sim_type = "mcr" if num_cars > 1 else "cr"
+    if u0 is None:
+        u0 = [0.0, 0.0] * num_cars
+    if cov_mat is None:
+        cov_mat = np.diag([0.0625, 0.1] * num_cars)
+    if plot_traj:
+        pol_log = True
+
+    _banner(
+        print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
+        horizon, lam, alpha, ais_its, lambda_ais, ce_elite_threshold,
+        ce_sigma_est, cma_sigma, cma_elite_threshold, seed,
+        extra=[("Num Cars:", num_cars), ("Max Num Laps:", laps)],
+    )
+
+    if num_cars > 1:
+        env = MultiCarRacingEnv(num_cars=num_cars, dtype=dtype, track_name=track)
+    else:
+        env = CarRacingEnv(dtype=dtype, track_name=track)
+
+    pol = get_policy(
+        policy_type, env, num_samples, horizon, lam, alpha, u0, cov_mat,
+        pol_log, ais_its, lambda_ais, ce_elite_threshold, ce_sigma_est,
+        cma_sigma, cma_elite_threshold, sample_sharding=sample_sharding,
+    )
+    reward_fn = jax.jit(env.reward)
+    step_fn = jax.jit(env.step)
+    beta_fn = jax.jit(env.betas if num_cars > 1 else env.beta)
+    within_fn = jax.jit(env.within_track)
+
+    frames = [] if save_gif else None
+    header = f"Trial    #: {'Reward':>12} : {'Steps':>7}: {'Reward/Step':>12}"
+    for ii in range(1, laps + 1):
+        header += f" : {'lap ':>6}{ii}"
+    header += f" : {'Mean V':>7} : {'Max V':>7} : {'Mean β':>7} : {'Max β':>7}"
+    header += f" : {'β Viol':>7} : {'T Viol':>7}"
+    if sim_type == "mcr":
+        header += f" : {'C Viol':>7}"
+    header += f" : {'Ex Time':>7}"
+    _print(print_output, header)
+
+    n_t = num_trials
+    rews = np.zeros(n_t)
+    steps = np.zeros(n_t)
+    lap_ts = np.zeros((laps, n_t))
+    mean_vs = np.zeros(n_t)
+    max_vs = np.zeros(n_t)
+    mean_bs = np.zeros(n_t)
+    max_bs = np.zeros(n_t)
+    b_viols = np.zeros(n_t)
+    t_viols = np.zeros(n_t)
+    c_viols = np.zeros(n_t)
+    exec_times = np.zeros(n_t)
+
+    for k in range(1, n_t + 1):
+        ps = pol.init_state(seed + k)
+        s = env.reset()
+        noise_rng = np.random.default_rng(seed + k)
+        t0 = time.perf_counter()
+
+        lap_time = np.zeros(laps, dtype=int)
+        v_mean_log, v_max_log, b_mean_log, b_max_log = [], [], [], []
+        rew, cnt, lap, prev_y = 0.0, 0, 0, 0.0
+        trk_viol, b_viol, crash_viol = 0, 0, 0
+        done = False
+
+        while not done and cnt <= num_steps:
+            act, ps, info = pol.step(s, ps)
+            s = step_fn(s, act)
+            cnt += 1
+            step_rew = float(reward_fn(s))
+            rew += step_rew
+
+            if frames is not None or plot_traj:
+                from mpopis_tpu.harness import plotting
+
+                fig = plotting.render_frame(
+                    env, s, info if plot_traj else None, plot_traj_perc
+                )
+                if frames is not None:
+                    frames.append(plotting.figure_to_array(fig))
+                plotting.close(fig)
+
+            # additive state noise, single car only (car_example.jl:224-236)
+            if sim_type == "cr" and (state_x_sigma or state_y_sigma or state_psi_sigma):
+                x = np.asarray(s.x).copy()
+                x[0] += state_x_sigma * noise_rng.standard_normal()
+                x[1] += state_y_sigma * noise_rng.standard_normal()
+                dpsi = state_psi_sigma * noise_rng.standard_normal()
+                x[2] += dpsi
+                rot = np.array(
+                    [[np.cos(dpsi), np.sin(dpsi)], [-np.sin(dpsi), np.cos(dpsi)]]
+                )
+                x[3:5] = rot @ x[3:5]
+                s = s.replace(x=jnp.asarray(x, dtype=dtype))
+
+            xs = np.asarray(s.x)
+            if sim_type == "mcr":
+                cars = xs.reshape(num_cars, 8)
+                curr_y = float(np.min(cars[:, 1]))
+                vs = np.linalg.norm(cars[:, 3:5], axis=1)
+                bs = np.abs(np.asarray(beta_fn(s)))
+                d = float(np.min(np.linalg.norm(cars[:, :2], axis=1)))
+            else:
+                curr_y = float(xs[1])
+                vs = np.array([np.linalg.norm(xs[3:5])])
+                bs = np.array([abs(float(beta_fn(s)))])
+                d = float(np.linalg.norm(xs[:2]))
+            v_mean_log.append(float(np.mean(vs)))
+            v_max_log.append(float(np.max(vs)))
+            b_mean_log.append(float(np.mean(bs)))
+            b_max_log.append(float(np.max(bs)))
+
+            # violation accounting (car_example.jl:255-263)
+            if step_rew < -4000:
+                ex_b = bool(np.max(bs) > env.params.beta_limit)
+                within_t = bool(np.asarray(within_fn(s)[0]))
+                if ex_b:
+                    b_viol += 1
+                if not within_t:
+                    trk_viol += 1
+                temp_rew = step_rew + ex_b * 5000 + (not within_t) * 1000000
+                if temp_rew < -10500:
+                    crash_viol += 1
+
+            # lap detection on curve.csv (car_example.jl:272-276)
+            if prev_y < 0.0 <= curr_y and d <= 15.0:
+                lap += 1
+                if lap <= laps:
+                    lap_time[lap - 1] = cnt
+            if lap >= laps or trk_viol > 10 or b_viol > 50:
+                done = True
+            prev_y = curr_y
+
+        dt_s = time.perf_counter() - t0
+        rews[k - 1] = rew
+        steps[k - 1] = cnt - 1
+        exec_times[k - 1] = dt_s
+        lap_ts[:, k - 1] = lap_time
+        mean_vs[k - 1] = np.mean(v_mean_log)
+        max_vs[k - 1] = np.max(v_max_log)
+        mean_bs[k - 1] = np.mean(b_mean_log)
+        max_bs[k - 1] = np.max(b_max_log)
+        b_viols[k - 1] = b_viol
+        t_viols[k - 1] = trk_viol
+        c_viols[k - 1] = crash_viol
+
+        if log_runs:
+            row = f"Trial {k:4d}: {rew:12.2f} : {cnt - 1:7d}: {rew / max(cnt - 1, 1):12.2f}"
+            for ii in range(laps):
+                row += f" : {lap_time[ii]:7d}"
+            row += f" : {np.mean(v_mean_log):7.2f} : {np.max(v_max_log):7.2f}"
+            row += f" : {np.mean(b_mean_log):7.2f} : {np.max(b_max_log):7.2f}"
+            row += f" : {b_viol:7d} : {trk_viol:7d}"
+            if sim_type == "mcr":
+                row += f" : {crash_viol:7d}"
+            row += f" : {dt_s:7.2f}"
+            _print(print_output, row)
+
+    metrics = {
+        "rewards": rews,
+        "steps": steps,
+        "rewards_per_step": rews / np.maximum(steps, 1),
+        "mean_vs": mean_vs,
+        "max_vs": max_vs,
+        "mean_betas": mean_bs,
+        "max_betas": max_bs,
+        "beta_violations": b_viols,
+        "track_violations": t_viols,
+        "crash_violations": c_viols,
+        "exec_times": exec_times,
+        "lap_times": lap_ts,
+        "control_steps_per_s": steps / np.maximum(exec_times, 1e-9),
+    }
+    _print(print_output, "-----------------------------------")
+    order = ["rewards", "steps", "rewards_per_step"]
+    for ii in range(laps):
+        metrics[f"lap{ii + 1}_times"] = lap_ts[ii]
+        order.append(f"lap{ii + 1}_times")
+    order += ["mean_vs", "max_vs", "mean_betas", "max_betas",
+              "beta_violations", "track_violations"]
+    if sim_type == "mcr":
+        order.append("crash_violations")
+    order.append("exec_times")
+    _summary_table(print_output, metrics, order)
+
+    if frames:
+        from mpopis_tpu.harness import plotting
+
+        if gif_name is None:
+            gif_name = (
+                f"{sim_type}-{num_cars}-{canonical_kind(policy_type)}-{num_samples}-"
+                f"{horizon}-{lam}-{alpha}-{ais_its}-{num_trials}-{laps}.gif"
+            )
+        plotting.save_gif(frames, gif_name, fps=10)
+        _print(print_output, "Saved gif...%s", gif_name)
+    return metrics

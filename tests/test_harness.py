@@ -1,0 +1,100 @@
+"""Harness tests: drivers run end-to-end, stats match the reference's
+order-statistic CI scheme, plots render."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpopis_tpu.harness import quantile_ci, simulate_car_racing, simulate_mountaincar
+from mpopis_tpu.harness.stats import summary_value
+
+
+def test_quantile_ci_hand_check():
+    x = np.arange(1.0, 101.0)
+    lo, med, hi = quantile_ci(x)
+    assert med == 50.5
+    # z-based rank bounds for n=100, q=0.5: j=ceil(50-1.96*5)=41, k=ceil(50+1.96*5)=60
+    assert lo == 41.0
+    assert hi == 60.0
+
+
+def test_summary_values():
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    assert summary_value("AVE", x) == 2.5
+    assert abs(summary_value("STD", x) - np.std(x, ddof=1)) < 1e-12
+    assert summary_value("MIN", x) == 1.0
+    assert summary_value("MAX", x) == 4.0
+
+
+def test_simulate_mountaincar_end_to_end(capsys):
+    metrics = simulate_mountaincar(
+        num_trials=2,
+        num_steps=200,
+        policy_type="cemppi",
+        num_samples=20,
+        horizon=15,
+        lam=0.1,
+        cov_mat=[1.5],
+        ais_its=5,
+        seed=1,
+        dtype=jnp.float64,
+    )
+    out = capsys.readouterr().out
+    assert "MountainCar" in out
+    assert "Trials AVE" in out
+    assert metrics["rewards"].shape == (2,)
+    # at least one trial should reach the goal (the +1e5 bonus)
+    assert metrics["rewards"].max() > 90000.0
+
+
+def test_simulate_car_racing_short(capsys):
+    metrics = simulate_car_racing(
+        num_trials=1,
+        num_steps=15,
+        policy_type="cemppi",
+        num_samples=32,
+        horizon=12,
+        ais_its=3,
+        seed=2,
+        laps=2,
+        dtype=jnp.float64,
+    )
+    out = capsys.readouterr().out
+    assert "Num Cars:" in out
+    assert metrics["steps"][0] == 15.0
+    # the car should make forward progress without violations in 15 steps
+    assert metrics["track_violations"][0] == 0
+    assert metrics["mean_vs"][0] > 5.0
+
+
+def test_simulate_multicar_short():
+    metrics = simulate_car_racing(
+        num_trials=1,
+        num_steps=6,
+        num_cars=2,
+        policy_type="cmamppi",
+        num_samples=24,
+        horizon=8,
+        ais_its=2,
+        seed=3,
+        dtype=jnp.float64,
+        print_output=False,
+    )
+    assert metrics["steps"][0] == 6.0
+    assert np.isfinite(metrics["rewards"][0])
+
+
+def test_render_frame_and_gif(tmp_path):
+    import jax
+
+    from mpopis_tpu.harness import plotting
+    from mpopis_tpu.models import CarRacingEnv
+
+    env = CarRacingEnv(dtype=jnp.float64)
+    s = env.reset()
+    fig = plotting.render_frame(env, s)
+    arr = plotting.figure_to_array(fig)
+    plotting.close(fig)
+    assert arr.ndim == 3 and arr.shape[2] == 3
+    gif = tmp_path / "t.gif"
+    plotting.save_gif([arr, arr], str(gif), fps=10)
+    assert gif.exists() and gif.stat().st_size > 0

@@ -1,0 +1,135 @@
+"""Sharding tests on the forced 8-device CPU topology: collective
+formulations must match local math exactly, and a sharded policy step must
+equal the single-device step bitwise (same keys)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mpopis_tpu import ops
+from mpopis_tpu.models import CarRacingEnv, MountainCarEnv
+from mpopis_tpu.parallel import (
+    SAMPLE_AXIS,
+    global_it_weights,
+    global_mean_cov,
+    global_top_k,
+    global_weighted_mean_cov,
+    make_sample_mesh,
+    sample_sharding,
+)
+from mpopis_tpu.policies import PolicyConfig, make_policy
+
+
+def _mesh():
+    assert len(jax.devices()) == 8, "tests expect the forced 8-device topology"
+    return make_sample_mesh(8)
+
+
+def test_global_it_weights_matches_local():
+    mesh = _mesh()
+    costs = jnp.asarray(np.random.default_rng(0).normal(size=64))
+    f = shard_map(
+        functools.partial(global_it_weights, lam=3.0, axis=SAMPLE_AXIS),
+        mesh=mesh,
+        in_specs=P(SAMPLE_AXIS),
+        out_specs=P(SAMPLE_AXIS),
+    )
+    w_sharded = np.asarray(f(costs))
+    w_local = np.asarray(ops.information_theoretic_weights(costs, 3.0))
+    np.testing.assert_array_equal(w_sharded, w_local)
+
+
+def test_global_weighted_mean_cov_matches_local():
+    mesh = _mesh()
+    rng = np.random.default_rng(1)
+    e = jnp.asarray(rng.normal(size=(6, 64)))
+    w = rng.uniform(size=64)
+    w = jnp.asarray(w / w.sum())
+    f = shard_map(
+        functools.partial(global_weighted_mean_cov, axis=SAMPLE_AXIS),
+        mesh=mesh,
+        in_specs=(P(None, SAMPLE_AXIS), P(SAMPLE_AXIS)),
+        out_specs=(P(), P()),
+    )
+    mu_s, cov_s = f(e, w)
+    mu_l, cov_l = ops.weighted_mean_and_cov(e, w)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_l), rtol=1e-12)
+    # cov via E[wxxᵀ]−μμᵀ differs from the centered form only by rounding
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_l), atol=1e-12)
+
+
+def test_global_mean_cov_matches_local():
+    mesh = _mesh()
+    e = jnp.asarray(np.random.default_rng(2).normal(size=(4, 40)))
+    f = shard_map(
+        functools.partial(global_mean_cov, axis=SAMPLE_AXIS, k_global=40),
+        mesh=mesh,
+        in_specs=P(None, SAMPLE_AXIS),
+        out_specs=(P(), P()),
+    )
+    mu_s, cov_s = f(e)
+    mu_l, cov_l = ops.mean_and_cov(e, corrected=True)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_l), atol=1e-12)
+
+
+def test_global_top_k_matches_local():
+    mesh = _mesh()
+    costs = jnp.asarray(np.random.default_rng(3).permutation(64).astype(float))
+    f = shard_map(
+        functools.partial(global_top_k, k=5, axis=SAMPLE_AXIS),
+        mesh=mesh,
+        in_specs=P(SAMPLE_AXIS),
+        out_specs=(P(), P()),
+    )
+    vals, idx = f(costs)
+    order = np.argsort(np.asarray(costs))[:5]
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(costs)[order])
+    np.testing.assert_array_equal(np.sort(np.asarray(idx)), np.sort(order))
+
+
+def test_sharded_policy_step_equals_single_device():
+    """The GSPMD-sharded policy step must produce the same action as the
+    unsharded one — sharding is a layout annotation, not a math change."""
+    mesh = _mesh()
+    env = CarRacingEnv(dtype=jnp.float64)
+    cfg = PolicyConfig(
+        kind="cemppi", num_samples=32, horizon=10, lam=10.0, opt_its=2,
+        sigma_est="ss",
+    )
+    cov = np.diag([0.0625, 0.1])
+    p_plain = make_policy(env, cfg, cov_mat=cov)
+    p_shard = make_policy(
+        env, cfg, cov_mat=cov, sample_sharding=sample_sharding(mesh, ndim=3)
+    )
+    s = env.reset()
+    a1, ps1, i1 = p_plain.step(s, p_plain.init_state(5))
+    a2, ps2, i2 = p_shard.step(s, p_shard.init_state(5))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(i1["costs"]), np.asarray(i2["costs"]), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(ps1.U), np.asarray(ps2.U), rtol=1e-12)
+
+
+def test_sharded_full_training_step_runs():
+    """A full MPC step (policy + env step) jitted over the mesh executes."""
+    mesh = _mesh()
+    env = MountainCarEnv(dtype=jnp.float64)
+    cfg = PolicyConfig(kind="muaismppi", num_samples=16, horizon=8, lam=0.1, opt_its=2)
+    pol = make_policy(
+        env, cfg, cov_mat=[1.5], sample_sharding=sample_sharding(mesh, ndim=3)
+    )
+
+    @jax.jit
+    def mpc_step(env_state, pol_state):
+        act, pol_state, _ = pol.step(env_state, pol_state)
+        return env.step(env_state, act), pol_state
+
+    s, ps = env.reset(), pol.init_state(0)
+    s2, ps2 = mpc_step(s, ps)
+    assert np.isfinite(np.asarray(s2.x)).all()

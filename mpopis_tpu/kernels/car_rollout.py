@@ -1,0 +1,225 @@
+"""Fused Pallas TPU kernel for car-racing trajectory rollouts.
+
+One kernel evaluates a full batch of candidate control sequences: the
+T-step × 10-substep brush-tire integration (car_racing.jl:282-344), the
+track distance query (car_racing_tracks.jl:64-92), the reward
+(car_racing.jl:201-213), and cost accumulation — with the state resident in
+VMEM/vector registers the whole time. This replaces ~T×substeps separate
+XLA fusions in the vmap path (the hot loop identified in SURVEY.md §3.1:
+K·N·T·10 tire-model evaluations per control step).
+
+Layout: samples are laid out as (S, 128) f32 tiles (S sublane-groups of 128
+lanes); each physical quantity (x, y, Ψ, Vx, Vy, Ψ̇, δ, cost, …) is one such
+tile set, so every dynamics op is a dense VPU op. The subsampled track
+centerline lives in SMEM and the argmin/neighbor/projection query is a
+fori_loop of scalar-broadcast compares — no gathers.
+
+Physics parameters and track geometry are baked into the kernel as
+compile-time constants (they are static per environment).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpopis_tpu.kernels import kmath
+from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv
+
+_G = 9.81
+LANES = 128
+
+
+def _tire_fy(alpha, mu, c_a, fz, fx):
+    fy_max = jnp.sqrt(jnp.maximum((mu * fz) ** 2 - fx * fx, 1e-8))
+    ta = kmath.tan(alpha)
+    cubic = (
+        -c_a * ta
+        + (c_a * c_a / (3.0 * fy_max)) * jnp.abs(ta) * ta
+        - (c_a**3 / (27.0 * fy_max * fy_max)) * ta * ta * ta
+    )
+    sat = -fy_max * jnp.sign(alpha)
+    return jnp.where(jnp.abs(alpha) < kmath.atan(3.0 * fy_max / c_a), cubic, sat)
+
+
+def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
+                 m_track: int, beta_limit: float):
+    """Build the kernel body with physics constants baked in."""
+
+    def kernel(state0_ref, tx_ref, ty_ref, tw_ref, controls_ref, costs_ref):
+        s_sub = costs_ref.shape[0]  # sublane-groups per block
+        shape = (s_sub, LANES)
+
+        def full(v):
+            return jnp.full(shape, v, dtype=jnp.float32)
+
+        ll = p.l_r + p.l_f
+
+        def reward(x, y, psi, vx, vy):
+            # --- track distance query (ref car_racing_tracks.jl:64-92) ---
+            def scan_pt(m, carry):
+                min_d2, bx, by, bpx, bpy, bnx, bny, bw = carry
+                px = tx_ref[0, m]
+                py = ty_ref[0, m]
+                d2 = (x - px) ** 2 + (y - py) ** 2
+                better = d2 < min_d2
+                m_prev = jax.lax.rem(m - 1 + m_track, m_track)
+                m_next = jax.lax.rem(m + 1, m_track)
+                return (
+                    jnp.where(better, d2, min_d2),
+                    jnp.where(better, px, bx),
+                    jnp.where(better, py, by),
+                    jnp.where(better, tx_ref[0, m_prev], bpx),
+                    jnp.where(better, ty_ref[0, m_prev], bpy),
+                    jnp.where(better, tx_ref[0, m_next], bnx),
+                    jnp.where(better, ty_ref[0, m_next], bny),
+                    jnp.where(better, tw_ref[0, m], bw),
+                )
+
+            init = (full(3.4e38), full(0.0), full(0.0), full(0.0),
+                    full(0.0), full(0.0), full(0.0), full(0.0))
+            _, bx, by, bpx, bpy, bnx, bny, bw = jax.lax.fori_loop(
+                0, m_track, scan_pt, init
+            )
+            d_prev2 = (bpx - x) ** 2 + (bpy - y) ** 2
+            d_next2 = (bnx - x) ** 2 + (bny - y) ** 2
+            use_prev = d_prev2 <= d_next2
+            p2x = jnp.where(use_prev, bpx, bnx)
+            p2y = jnp.where(use_prev, bpy, bny)
+            segx = p2x - bx
+            segy = p2y - by
+            seg2 = segx * segx + segy * segy
+            t_par = ((x - bx) * segx + (y - by) * segy) / seg2
+            projx = bx + t_par * segx
+            projy = by + t_par * segy
+            dist = jnp.sqrt((projx - x) ** 2 + (projy - y) ** 2)
+            within = dist < bw
+            # --- reward (ref car_racing.jl:201-213) ---
+            beta = kmath.atan2(vy, vx)
+            rew = jnp.where(within, 0.0, -1000000.0)
+            rew = rew + jnp.where(jnp.abs(beta) > beta_limit, -5000.0, 0.0)
+            rew = rew - dist
+            rew = rew + 2.0 * jnp.sqrt(vx * vx + vy * vy)
+            return rew
+
+        def action_step(t, carry):
+            x, y, psi, vx, vy, psid, delta, cost = carry
+            steer = controls_ref[t, 0, :].reshape(shape)
+            pedal = controls_ref[t, 1, :].reshape(shape)
+
+            target = steer * p.delta_max
+            commanded = jnp.abs(target - delta) / dt
+            ddelta = jnp.minimum(commanded, p.delta_dot_max) * jnp.sign(target - delta)
+            lam = jnp.where(pedal <= 0.0, p.lambda_brake, p.lambda_drive)
+            accel = p.fx_max * jnp.maximum(pedal, 0.0)
+
+            for _ in range(n_sub):
+                delta = delta + ddelta * ddt
+                alpha_f = kmath.atan2(vy + p.l_f * psid, vx) - delta
+                alpha_r = kmath.atan2(vy - p.l_r * psid, vx)
+                fx_aero = (p.c_d0 + p.c_d1 * jnp.abs(vx)) * jnp.sign(vx)
+                brake = p.fx_min * jnp.minimum(pedal, 0.0) * jnp.sign(vx)
+                fx = accel + brake
+                fxf = lam * fx
+                fxr = (1.0 - lam) * fx
+                fzf = (p.m * p.l_r * _G - p.h_cm * fx) / ll
+                fzr = (p.m * p.l_f * _G + p.h_cm * fx) / ll
+                fyf = _tire_fy(alpha_f, p.mu_f, p.c_af, fzf, fxf)
+                fyr = _tire_fy(alpha_r, p.mu_r, p.c_ar, fzr, fxr)
+                sin_d = jnp.sin(delta)
+                cos_d = jnp.cos(delta)
+                psidd = (p.l_f * (fxf * sin_d + fyf * cos_d) - p.l_r * fyr) / p.i_zz
+                vy_dot = (fyf * cos_d + fxf * sin_d + fyr) / p.m - psid * vx
+                vx_dot = (fxf * cos_d - fyf * sin_d + fxr - fx_aero) / p.m + psid * vy
+                psid = psid + psidd * ddt
+                vx = vx + vx_dot * ddt
+                vy = vy + vy_dot * ddt
+                psi = psi + psid * ddt
+                psi = kmath.atan2(jnp.sin(psi), jnp.cos(psi))
+                x = x + (vx * jnp.cos(psi) - vy * jnp.sin(psi)) * ddt
+                y = y + (vx * jnp.sin(psi) + vy * jnp.cos(psi)) * ddt
+
+            cost = cost - reward(x, y, psi, vx, vy)
+            return (x, y, psi, vx, vy, psid, delta, cost)
+
+        init = (
+            full(state0_ref[0, 0]),
+            full(state0_ref[0, 1]),
+            full(state0_ref[0, 2]),
+            full(state0_ref[0, 3]),
+            full(state0_ref[0, 4]),
+            full(state0_ref[0, 5]),
+            full(state0_ref[0, 6]),
+            full(0.0),
+        )
+        final = jax.lax.fori_loop(0, horizon, action_step, init)
+        costs_ref[:, :] = final[7]
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("env", "horizon", "block_k", "interpret")
+)
+def car_rollout_costs(
+    env: CarRacingEnv,
+    state0_x: jnp.ndarray,  # (8,) current car state
+    controls: jnp.ndarray,  # (K, T, 2), already clamped
+    horizon: int,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rollout: returns (K,) trajectory costs Σ_t -reward(s_t).
+
+    Semantically identical to rollout_batch over CarRacingEnv (the vmap path
+    is kept as the correctness oracle; see tests/test_kernels.py).
+    """
+    k = controls.shape[0]
+    n_sub = int(round(env.dt / env.ddt))
+    m_track = len(env.track.xs)
+
+    k_pad = _round_up(max(k, LANES), min(block_k, _round_up(k, LANES)))
+    block_k = min(block_k, k_pad)
+    k_pad = _round_up(k_pad, block_k)
+    s_sub = block_k // LANES
+    grid = (k_pad // block_k,)
+
+    ctrl = jnp.zeros((horizon, 2, k_pad), dtype=jnp.float32)
+    ctrl = ctrl.at[:, :, :k].set(
+        jnp.transpose(controls.astype(jnp.float32), (1, 2, 0))
+    )
+    state0 = state0_x[:8].astype(jnp.float32).reshape(1, 8)
+    tx = jnp.asarray(env.track.xs, dtype=jnp.float32).reshape(1, -1)
+    ty = jnp.asarray(env.track.ys, dtype=jnp.float32).reshape(1, -1)
+    tw = jnp.asarray(env.track.lane_width_s, dtype=jnp.float32).reshape(1, -1)
+
+    kernel = _make_kernel(
+        env.params, horizon, n_sub, env.dt, env.ddt, m_track,
+        env.params.beta_limit,
+    )
+    costs = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (horizon, 2, block_k), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(state0, tx, ty, tw, ctrl)
+    return costs.reshape(-1)[:k].astype(env.dtype)

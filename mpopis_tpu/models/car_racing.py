@@ -107,6 +107,23 @@ class CarRacingEnv(Env):
         pts, widths = self.track.query_arrays(self.dtype)
         return car_reward(self.params, pts, widths, state.x)
 
+    def fused_rollout_costs(self, state: EnvState, controls: jnp.ndarray):
+        """Fused Pallas rollout (kernels/car_rollout.py): (K,T,2) clamped
+        controls → (K,) trajectory costs. Only valid on TPU backends with
+        float32; the policy driver gates on `supports_fused_rollout`."""
+        from mpopis_tpu.kernels.car_rollout import car_rollout_costs
+
+        return car_rollout_costs(self, state.x, controls, controls.shape[1])
+
+    @property
+    def supports_fused_rollout(self) -> bool:
+        import jax
+
+        return (
+            self.dtype == jnp.float32
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
+
     # conveniences mirroring the reference exports
     def within_track(self, state: EnvState):
         pts, widths = self.track.query_arrays(self.dtype)

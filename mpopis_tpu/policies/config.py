@@ -65,6 +65,7 @@ class PolicyConfig:
     cma_elite_threshold: float = 0.8
     nes_step_factor: float = 0.01
     log: bool = False  # capture K trajectories/costs/weights per step
+    use_fused_rollout: bool = True  # Pallas kernel when the env provides one
 
     # Reference-quirk reproduction flags (see SURVEY.md §2.1): defaults keep
     # bit-level semantic parity with MPOPIS.

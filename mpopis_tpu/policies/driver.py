@@ -34,6 +34,26 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _make_base_rollout(env, cfg, sample_sharding):
+    """Trajectory-cost evaluator: fused Pallas kernel when the env provides
+    one and nothing requires the generic path (trajectory logging needs
+    per-step states; explicit sample sharding currently rides the GSPMD
+    vmap path)."""
+    use_fused = (
+        cfg.use_fused_rollout
+        and not cfg.log
+        and sample_sharding is None
+        and getattr(env, "supports_fused_rollout", False)
+    )
+    if use_fused:
+        def rollout_fn(env_state, controls):
+            return env.fused_rollout_costs(env_state, controls), None
+    else:
+        def rollout_fn(env_state, controls):
+            return rollout_batch(env, env_state, controls, cfg.log)
+    return rollout_fn
+
+
 def _principal_sqrtm(sigma: np.ndarray) -> np.ndarray:
     """Principal matrix square root via eigendecomposition (Julia's sqrt(Σ)
     for symmetric PSD matrices, used by NES at mppi_mpopi_policies.jl:848)."""
@@ -160,11 +180,13 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
             return jax.lax.with_sharding_constraint(x, sample_sharding)
         return x
 
+    base_rollout = _make_base_rollout(env, cfg, sample_sharding)
+
     def compute_costs(env_state, u_cur, e, chol, u_orig):
         v = u_cur[:, None] + e  # (cs, K), unclamped candidates
         controls = v.T.reshape(k_samples, horizon, action_dim)
         controls = constrain(jnp.clip(controls, low, high))
-        base, trajs = rollout_batch(env, env_state, controls, cfg.log)
+        base, trajs = base_rollout(env_state, controls)
         if gamma != 0.0:
             # γ·U_origᵀ Σ⁻¹ (V_k − U_orig) with the *current* sampling Σ
             # (ref :249, :272; Σ_inv = invcov of this iteration's P).
@@ -248,13 +270,15 @@ def _make_mppi_step(env, cfg, u0_flat, sigma_as, sample_sharding):
             return jax.lax.with_sharding_constraint(x, sample_sharding)
         return x
 
+    base_rollout = _make_base_rollout(env, cfg, sample_sharding)
+
     def policy_step(env_state: EnvState, pol_state: PolicyState):
         key_next, k_samp = jax.random.split(pol_state.key)
         z = jax.random.normal(k_samp, (k_samples, horizon, action_dim), dtype=dtype)
         e = z @ chol_as.T  # E[k,t] ~ N(0, Σ_as) (ref :154-156)
         u_mat = pol_state.U.reshape(horizon, action_dim)
         controls = constrain(jnp.clip(u_mat[None, :, :] + e, low, high))
-        base, trajs = rollout_batch(env, env_state, controls, cfg.log)
+        base, trajs = base_rollout(env_state, controls)
         costs = base
         if gamma != 0.0:
             # γ·uₜᵀ Σ⁻¹ εₖₜ summed over t (ref :167, :204)

@@ -4,6 +4,7 @@ from mpopis_tpu.harness.simulate import (
     simulate_cartpole,
     simulate_mountaincar,
 )
+from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
 from mpopis_tpu.harness.stats import quantile_ci
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "simulate_car_racing",
     "simulate_cartpole",
     "simulate_mountaincar",
+    "simulate_mujoco",
     "quantile_ci",
 ]

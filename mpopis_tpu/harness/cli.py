@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     cp = sub.add_parser("cartpole", help="continuous cart-pole")
     _common(cp, 20, 15, 0.1)
 
+    mj = sub.add_parser("mujoco", help="host-batched MuJoCo (envpool-lite engine)")
+    _common(mj, 100, 50, 1.0)
+    mj.add_argument("--env-name", default="HalfCheetah-v4")
+    mj.add_argument("--frame-skip", type=int, default=5)
+    mj.add_argument("--output-acts-file", action="store_true")
+    mj.add_argument("--log-runs", action="store_true")
+    mj.add_argument("--no-native", action="store_true", help="use the Python fallback engine")
+
     return ap
 
 
@@ -102,4 +110,16 @@ def main(argv=None) -> int:
         simulate.simulate_mountaincar(**common)
     elif args.cmd == "cartpole":
         simulate.simulate_cartpole(**common)
+    elif args.cmd == "mujoco":
+        from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
+
+        common.pop("dtype")
+        simulate_mujoco(
+            args.env_name,
+            frame_skip=args.frame_skip,
+            output_acts_file=args.output_acts_file,
+            log_runs=args.log_runs,
+            native=not args.no_native,
+            **common,
+        )
     return 0

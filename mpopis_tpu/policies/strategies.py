@@ -60,7 +60,16 @@ class Strategy:
 
 
 def _jittered(sigma: jnp.ndarray, jitter: float) -> jnp.ndarray:
-    return sigma + jitter * jnp.eye(sigma.shape[0], dtype=sigma.dtype)
+    """Diagonal jitter before Cholesky. The reference adds a fixed 1e-8·I
+    (mppi_mpopi_policies.jl:464,733,808), which is enough in f64 but below
+    rounding error in f32 when the refit covariance is rank-deficient (m_elite
+    < cs with the :mle estimator); a dtype-scaled floor keeps the factorization
+    PD in both precisions without visibly changing the sampling distribution."""
+    scale = jnp.mean(jnp.diag(sigma))
+    eps_floor = 100.0 * jnp.finfo(sigma.dtype).eps * scale
+    return sigma + (jitter + eps_floor) * jnp.eye(
+        sigma.shape[0], dtype=sigma.dtype
+    )
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

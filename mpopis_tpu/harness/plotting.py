@@ -85,8 +85,16 @@ def plot_trajectories(ax, trajectories, weights, perc: float = 1.0, num_cars: in
     return ax
 
 
-def render_frame(env, state, info=None, plot_traj_perc: float = 1.0):
-    """One animation frame: track + car(s) (+ trajectory overlays)."""
+def render_frame(
+    env,
+    state,
+    info=None,
+    plot_traj_perc: float = 1.0,
+    text_output: bool = False,
+    text_xy=(80.0, -60.0),
+):
+    """One animation frame: track + car(s) (+ trajectory overlays
+    + optional telemetry text block, plots.jl:74-92)."""
     fig, ax = plt.subplots(figsize=(9, 9))
     plot_track(env.track, ax)
     xs = np.asarray(state.x)
@@ -95,12 +103,43 @@ def render_frame(env, state, info=None, plot_traj_perc: float = 1.0):
         for i, car in enumerate(cars):
             plot_car(env.params, car, ax, color_idx=i)
         n_cars = env.num_cars
+        car1 = cars[0]
     else:
         plot_car(env.params, xs, ax)
         n_cars = 1
+        car1 = xs
     if info is not None and "trajectories" in info:
         plot_trajectories(
             ax, info["trajectories"], info["weights"], plot_traj_perc, n_cars
+        )
+    if text_output:
+        import jax.numpy as jnp
+
+        rew = float(np.asarray(env.reward(state)))
+        if isinstance(env, MultiCarRacingEnv):
+            from mpopis_tpu.models.track import distance_query
+
+            pts, widths = env.track.query_arrays(env.dtype)
+            _, dist = distance_query(pts, widths, jnp.asarray(car1[:2]))
+        else:
+            _, dist = env.within_track(state)
+        beta = np.arctan2(car1[4], car1[3])
+        t_env = int(np.asarray(state.t))
+        lines = [
+            f"{'Time (s)':<24s}:{t_env * env.dt:5.1f}",
+            "",
+            f"{'':8s}{'--- CAR 1 ---':>13s}",
+            f"{'Reward':<24s}:{rew:5.1f}",
+            f"{'|v| (m/s)':<24s}:{np.linalg.norm(car1[3:5]):5.1f}",
+            f"{'Dist to Lane Center (m)':<24s}:{float(dist):5.1f}",
+            f"{'Beta Angle (deg)':<24s}:{np.rad2deg(beta):5.1f}",
+            f"{'Steering Ang (deg)':<24s}:{np.rad2deg(car1[6]):5.1f}",
+            f"{'Gas/Brake (%)':<24s}:{car1[7] * 100:5.1f}",
+        ]
+        ax.text(
+            text_xy[0], text_xy[1], "\n".join(lines),
+            family="monospace", fontsize=11, fontweight="bold",
+            ha="left", va="top", zorder=6,
         )
     ax.set_xticks([])
     ax.set_yticks([])

@@ -214,6 +214,8 @@ def simulate_car_racing(
     pol_log=False,
     plot_traj=False,
     plot_traj_perc=1.0,
+    text_with_plot=True,
+    text_on_plot_xy=(80.0, -60.0),
     save_gif=False,
     gif_name=None,
     track="curve",
@@ -307,7 +309,8 @@ def simulate_car_racing(
                 from mpopis_tpu.harness import plotting
 
                 fig = plotting.render_frame(
-                    env, s, info if plot_traj else None, plot_traj_perc
+                    env, s, info if plot_traj else None, plot_traj_perc,
+                    text_output=text_with_plot, text_xy=text_on_plot_xy,
                 )
                 if frames is not None:
                     frames.append(plotting.figure_to_array(fig))

@@ -1,0 +1,4 @@
+from mpopis_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from mpopis_tpu.utils.profiling import PhaseTimer, timed, trace
+
+__all__ = ["load_checkpoint", "save_checkpoint", "PhaseTimer", "timed", "trace"]

@@ -50,9 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     mc = sub.add_parser("mountaincar", help="continuous mountain car")
     _common(mc, 20, 15, 0.1)
+    mc.add_argument("--save-gif", action="store_true")
 
     cp = sub.add_parser("cartpole", help="continuous cart-pole")
     _common(cp, 20, 15, 0.1)
+    cp.add_argument("--save-gif", action="store_true")
 
     mj = sub.add_parser("mujoco", help="host-batched MuJoCo (envpool-lite engine)")
     _common(mj, 100, 50, 1.0)
@@ -107,9 +109,9 @@ def main(argv=None) -> int:
         )
     elif args.cmd == "mountaincar":
         common.setdefault("lambda_ais", 0.1)
-        simulate.simulate_mountaincar(**common)
+        simulate.simulate_mountaincar(save_gif=args.save_gif, **common)
     elif args.cmd == "cartpole":
-        simulate.simulate_cartpole(**common)
+        simulate.simulate_cartpole(save_gif=args.save_gif, **common)
     elif args.cmd == "mujoco":
         from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
 

@@ -147,6 +147,47 @@ def render_frame(
     return fig
 
 
+def render_mountaincar(env, state):
+    """Hill profile sin(3x) with the car drawn at its position (parity with
+    RL.jl's MountainCar plot recipe used by the reference's save_gif path)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    xs = np.linspace(env.min_pos, env.max_pos, 200)
+    ax.plot(xs, np.sin(3 * xs), color="black", lw=1.5)
+    pos = float(np.asarray(state.x)[0])
+    ax.plot([pos], [np.sin(3 * pos)], "o", ms=12, color="tab:red")
+    gx = env.goal_pos
+    ax.plot([gx], [np.sin(3 * gx)], marker="$⚑$", ms=14, color="tab:green")
+    ax.set_xlim(env.min_pos - 0.05, env.max_pos + 0.05)
+    ax.set_ylim(-1.2, 1.2)
+    ax.set_title(f"t={int(np.asarray(state.t))}  v={float(np.asarray(state.x)[1]):+.3f}")
+    fig.tight_layout()
+    return fig
+
+
+def render_cartpole(env, state):
+    """Cart rectangle + pole line (parity with RL.jl's CartPole recipe)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    x, _, theta, _ = np.asarray(state.x)
+    ax.plot([-env.x_threshold, env.x_threshold], [0, 0], color="black", lw=1)
+    cart_w, cart_h = 0.4, 0.2
+    ax.add_patch(
+        plt.Rectangle((x - cart_w / 2, -cart_h / 2), cart_w, cart_h,
+                      color="tab:blue")
+    )
+    pole_len = 2 * env.halflength
+    ax.plot(
+        [x, x + pole_len * np.sin(theta)],
+        [0, pole_len * np.cos(theta)],
+        lw=4, color="tab:orange",
+    )
+    ax.set_xlim(-env.x_threshold - 0.5, env.x_threshold + 0.5)
+    ax.set_ylim(-0.6, 1.6)
+    ax.set_aspect("equal")
+    ax.set_title(f"t={int(np.asarray(state.t))}  θ={np.rad2deg(theta):+.1f}°")
+    fig.tight_layout()
+    return fig
+
+
 def figure_to_array(fig) -> np.ndarray:
     fig.canvas.draw()
     buf = np.asarray(fig.canvas.buffer_rgba())

@@ -114,6 +114,8 @@ def _simulate_simple(
     seed=None,
     log_runs=True,
     pol_log=False,
+    save_gif=False,
+    gif_name=None,
     print_output=True,
 ):
     if seed is None:
@@ -131,6 +133,7 @@ def _simulate_simple(
         cma_sigma, cma_elite_threshold,
     )
 
+    frames = [] if save_gif else None
     rews = np.zeros(num_trials)
     steps = np.zeros(num_trials)
     exec_times = np.zeros(num_trials)
@@ -144,6 +147,17 @@ def _simulate_simple(
             s = env.step(s, act)
             cnt += 1
             rew += float(env.reward(s))
+            if frames is not None:
+                from mpopis_tpu.harness import plotting
+
+                render = (
+                    plotting.render_mountaincar
+                    if sim_type == "MountainCar"
+                    else plotting.render_cartpole
+                )
+                fig = render(env, s)
+                frames.append(plotting.figure_to_array(fig))
+                plotting.close(fig)
         dt = time.perf_counter() - t0
         rews[k - 1] = rew
         steps[k - 1] = cnt - 1
@@ -162,6 +176,13 @@ def _simulate_simple(
     }
     _print(print_output, "-----------------------------------")
     _summary_table(print_output, metrics, ["rewards", "steps", "rewards_per_step", "exec_times"])
+    if frames:
+        from mpopis_tpu.harness import plotting
+
+        if gif_name is None:
+            gif_name = f"{sim_type}-{num_samples}-{horizon}-{lam}-{num_trials}.gif"
+        plotting.save_gif(frames, gif_name, fps=10)
+        _print(print_output, "Saved gif...%s", gif_name)
     return metrics
 
 

@@ -1,16 +1,19 @@
-"""Fused Pallas TPU kernel for car-racing trajectory rollouts.
+"""Fused Pallas TPU kernel for car-racing trajectory rollouts (1..N cars).
 
 One kernel evaluates a full batch of candidate control sequences: the
 T-step × 10-substep brush-tire integration (car_racing.jl:282-344), the
 track distance query (car_racing_tracks.jl:64-92), the reward
-(car_racing.jl:201-213), and cost accumulation — with the state resident in
-VMEM/vector registers the whole time. This replaces ~T×substeps separate
-XLA fusions in the vmap path (the hot loop identified in SURVEY.md §3.1:
-K·N·T·10 tire-model evaluations per control step).
+(car_racing.jl:201-213; joint multi-car reward with pairwise distance and
+collision terms, multi-car_racing.jl:145-158), and cost accumulation — with
+all car states resident in VMEM/vector registers the whole time. This
+replaces ~T×substeps separate XLA fusions in the vmap path (the hot loop
+identified in SURVEY.md §3.1: K·N·T·10 tire-model evaluations per control
+step).
 
 Layout: samples are laid out as (S, 128) f32 tiles (S sublane-groups of 128
-lanes); each physical quantity (x, y, Ψ, Vx, Vy, Ψ̇, δ, cost, …) is one such
-tile set, so every dynamics op is a dense VPU op. The subsampled track
+lanes); each physical quantity of each car (x, y, Ψ, Vx, Vy, Ψ̇, δ, cost, …)
+is one such tile set, so every dynamics op — including the cross-car
+pairwise-distance reward terms — is a dense VPU op. The subsampled track
 centerline lives in SMEM and the argmin/neighbor/projection query is a
 fori_loop of scalar-broadcast compares — no gathers.
 
@@ -29,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpopis_tpu.kernels import kmath
-from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv
+from mpopis_tpu.models.car_racing import CarParams
 
 _G = 9.81
 LANES = 128
@@ -48,8 +51,9 @@ def _tire_fy(alpha, mu, c_a, fz, fx):
 
 
 def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
-                 m_track: int, beta_limit: float):
+                 m_track: int, beta_limit: float, num_cars: int):
     """Build the kernel body with physics constants baked in."""
+    ll = p.l_r + p.l_f
 
     def kernel(state0_ref, tx_ref, ty_ref, tw_ref, controls_ref, costs_ref):
         s_sub = costs_ref.shape[0]  # sublane-groups per block
@@ -58,10 +62,9 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
         def full(v):
             return jnp.full(shape, v, dtype=jnp.float32)
 
-        ll = p.l_r + p.l_f
+        def track_dist(x, y):
+            """(within, dist) per lane; ref car_racing_tracks.jl:64-92."""
 
-        def reward(x, y, psi, vx, vy):
-            # --- track distance query (ref car_racing_tracks.jl:64-92) ---
             def scan_pt(m, carry):
                 min_d2, bx, by, bpx, bpy, bnx, bny, bw = carry
                 px = tx_ref[0, m]
@@ -98,8 +101,12 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
             projx = bx + t_par * segx
             projy = by + t_par * segy
             dist = jnp.sqrt((projx - x) ** 2 + (projy - y) ** 2)
-            within = dist < bw
-            # --- reward (ref car_racing.jl:201-213) ---
+            return dist < bw, dist
+
+        def car_reward(car):
+            """Per-car reward (ref car_racing.jl:201-213)."""
+            x, y, psi, vx, vy, psid, delta = car
+            within, dist = track_dist(x, y)
             beta = kmath.atan2(vy, vx)
             rew = jnp.where(within, 0.0, -1000000.0)
             rew = rew + jnp.where(jnp.abs(beta) > beta_limit, -5000.0, 0.0)
@@ -107,14 +114,14 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
             rew = rew + 2.0 * jnp.sqrt(vx * vx + vy * vy)
             return rew
 
-        def action_step(t, carry):
-            x, y, psi, vx, vy, psid, delta, cost = carry
-            steer = controls_ref[t, 0, :].reshape(shape)
-            pedal = controls_ref[t, 1, :].reshape(shape)
-
+        def advance_car(car, steer, pedal):
+            """One dt action step = n_sub Euler substeps (car_racing.jl:282-344)."""
+            x, y, psi, vx, vy, psid, delta = car
             target = steer * p.delta_max
             commanded = jnp.abs(target - delta) / dt
-            ddelta = jnp.minimum(commanded, p.delta_dot_max) * jnp.sign(target - delta)
+            ddelta = jnp.minimum(commanded, p.delta_dot_max) * jnp.sign(
+                target - delta
+            )
             lam = jnp.where(pedal <= 0.0, p.lambda_brake, p.lambda_drive)
             accel = p.fx_max * jnp.maximum(pedal, 0.0)
 
@@ -143,22 +150,37 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
                 psi = kmath.atan2(jnp.sin(psi), jnp.cos(psi))
                 x = x + (vx * jnp.cos(psi) - vy * jnp.sin(psi)) * ddt
                 y = y + (vx * jnp.sin(psi) + vy * jnp.cos(psi)) * ddt
+            return (x, y, psi, vx, vy, psid, delta)
 
-            cost = cost - reward(x, y, psi, vx, vy)
-            return (x, y, psi, vx, vy, psid, delta, cost)
+        def action_step(t, carry):
+            cars, cost = carry
+            new_cars = []
+            for ci in range(num_cars):
+                steer = controls_ref[t, 2 * ci, :].reshape(shape)
+                pedal = controls_ref[t, 2 * ci + 1, :].reshape(shape)
+                new_cars.append(advance_car(cars[ci], steer, pedal))
 
-        init = (
-            full(state0_ref[0, 0]),
-            full(state0_ref[0, 1]),
-            full(state0_ref[0, 2]),
-            full(state0_ref[0, 3]),
-            full(state0_ref[0, 4]),
-            full(state0_ref[0, 5]),
-            full(state0_ref[0, 6]),
-            full(0.0),
+            rew = full(0.0)
+            for ci in range(num_cars):
+                rew = rew + car_reward(new_cars[ci])
+            # joint terms: pairwise distance + collision (multi-car_racing.jl:145-158)
+            for i in range(num_cars):
+                for j in range(i + 1, num_cars):
+                    dx = new_cars[i][0] - new_cars[j][0]
+                    dy = new_cars[i][1] - new_cars[j][1]
+                    dd = jnp.sqrt(dx * dx + dy * dy + 1e-30)
+                    rew = rew - dd
+                    rew = rew - jnp.where(dd <= 4.0, 11000.0, 0.0)
+            return (tuple(new_cars), cost - rew)
+
+        cars0 = tuple(
+            tuple(full(state0_ref[0, 8 * ci + j]) for j in range(7))
+            for ci in range(num_cars)
         )
-        final = jax.lax.fori_loop(0, horizon, action_step, init)
-        costs_ref[:, :] = final[7]
+        final_cars, final_cost = jax.lax.fori_loop(
+            0, horizon, action_step, (cars0, full(0.0))
+        )
+        costs_ref[:, :] = final_cost
 
     return kernel
 
@@ -168,58 +190,95 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("env", "horizon", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "params", "track_xs", "track_ys", "track_ws", "dt", "ddt",
+        "horizon", "num_cars", "block_k", "interpret",
+    ),
 )
-def car_rollout_costs(
-    env: CarRacingEnv,
-    state0_x: jnp.ndarray,  # (8,) current car state
-    controls: jnp.ndarray,  # (K, T, 2), already clamped
+def _car_rollout_costs_impl(
+    params: CarParams,
+    track_xs,
+    track_ys,
+    track_ws,
+    dt: float,
+    ddt: float,
+    state0_x: jnp.ndarray,
+    controls: jnp.ndarray,
     horizon: int,
-    block_k: int = 1024,
-    interpret: bool = False,
+    num_cars: int,
+    block_k: int,
+    interpret: bool,
 ) -> jnp.ndarray:
-    """Fused rollout: returns (K,) trajectory costs Σ_t -reward(s_t).
-
-    Semantically identical to rollout_batch over CarRacingEnv (the vmap path
-    is kept as the correctness oracle; see tests/test_kernels.py).
-    """
     k = controls.shape[0]
-    n_sub = int(round(env.dt / env.ddt))
-    m_track = len(env.track.xs)
+    n_sub = int(round(dt / ddt))
+    m_track = len(track_xs)
 
     k_pad = _round_up(max(k, LANES), min(block_k, _round_up(k, LANES)))
     block_k = min(block_k, k_pad)
     k_pad = _round_up(k_pad, block_k)
     s_sub = block_k // LANES
     grid = (k_pad // block_k,)
+    na = 2 * num_cars
 
-    ctrl = jnp.zeros((horizon, 2, k_pad), dtype=jnp.float32)
+    ctrl = jnp.zeros((horizon, na, k_pad), dtype=jnp.float32)
     ctrl = ctrl.at[:, :, :k].set(
         jnp.transpose(controls.astype(jnp.float32), (1, 2, 0))
     )
-    state0 = state0_x[:8].astype(jnp.float32).reshape(1, 8)
-    tx = jnp.asarray(env.track.xs, dtype=jnp.float32).reshape(1, -1)
-    ty = jnp.asarray(env.track.ys, dtype=jnp.float32).reshape(1, -1)
-    tw = jnp.asarray(env.track.lane_width_s, dtype=jnp.float32).reshape(1, -1)
+    state0 = state0_x[: 8 * num_cars].astype(jnp.float32).reshape(1, -1)
+    tx = jnp.asarray(track_xs, dtype=jnp.float32).reshape(1, -1)
+    ty = jnp.asarray(track_ys, dtype=jnp.float32).reshape(1, -1)
+    tw = jnp.asarray(track_ws, dtype=jnp.float32).reshape(1, -1)
 
     kernel = _make_kernel(
-        env.params, horizon, n_sub, env.dt, env.ddt, m_track,
-        env.params.beta_limit,
+        params, horizon, n_sub, dt, ddt, m_track, params.beta_limit, num_cars
     )
     costs = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8 * num_cars), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (horizon, 2, block_k), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                (horizon, na, block_k), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
     )(state0, tx, ty, tw, ctrl)
-    return costs.reshape(-1)[:k].astype(env.dtype)
+    return costs.reshape(-1)[:k]
+
+
+def car_rollout_costs(
+    env,
+    state0_x: jnp.ndarray,
+    controls: jnp.ndarray,  # (K, T, 2*num_cars), already clamped
+    horizon: int,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rollout for CarRacingEnv / MultiCarRacingEnv: (K,) trajectory
+    costs Σ_t -reward(s_t). Semantically identical to rollout_batch (the
+    vmap path is the correctness oracle; see tests/test_kernels.py)."""
+    num_cars = getattr(env, "num_cars", 1)
+    # hashable track arrays for the jit static trace: pass as tuples
+    costs = _car_rollout_costs_impl(
+        env.params,
+        tuple(env.track.xs.tolist()),
+        tuple(env.track.ys.tolist()),
+        tuple(env.track.lane_width_s.tolist()),
+        env.dt,
+        env.ddt,
+        state0_x,
+        controls,
+        horizon,
+        num_cars,
+        block_k,
+        interpret,
+    )
+    return costs.astype(env.dtype)

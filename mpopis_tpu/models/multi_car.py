@@ -90,6 +90,21 @@ class MultiCarRacingEnv(Env):
         rew = rew - 11000.0 * jnp.sum(pair <= 4.0)
         return rew
 
+    def fused_rollout_costs(self, state: EnvState, controls: jnp.ndarray):
+        """Fused Pallas rollout over all N cars (kernels/car_rollout.py)."""
+        from mpopis_tpu.kernels.car_rollout import car_rollout_costs
+
+        return car_rollout_costs(self, state.x, controls, controls.shape[1])
+
+    @property
+    def supports_fused_rollout(self) -> bool:
+        import jax
+
+        return (
+            self.dtype == jnp.float32
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
+
     # conveniences mirroring reference exports -------------------------
     def within_track(self, state: EnvState):
         pts, widths = self.track.query_arrays(self.dtype)

@@ -38,3 +38,21 @@ def test_car_kernel_padding_and_blocks():
     np.testing.assert_allclose(
         np.asarray(kern), np.asarray(oracle), rtol=2e-4, atol=2e-3
     )
+
+
+def test_multicar_kernel_matches_vmap_oracle():
+    from mpopis_tpu.models import MultiCarRacingEnv
+
+    env = MultiCarRacingEnv(num_cars=3, dtype=jnp.float32)
+    s0 = env.reset()
+    controls = jax.random.uniform(
+        jax.random.PRNGKey(2), (40, 6, 6), minval=-1.0, maxval=1.0
+    ).astype(jnp.float32)
+    oracle, _ = rollout_batch(env, s0, controls, log_states=False)
+    from mpopis_tpu.kernels.car_rollout import car_rollout_costs as crc
+
+    kern = crc(env, s0.x, controls, 6, interpret=True)
+    assert kern.shape == (40,)
+    np.testing.assert_allclose(
+        np.asarray(kern), np.asarray(oracle), rtol=2e-4, atol=2e-2
+    )

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     car.add_argument("--state-psi-sigma", type=float, default=0.0)
     car.add_argument("--save-gif", action="store_true")
     car.add_argument("--plot-traj", action="store_true")
+    car.add_argument(
+        "--sharded", action="store_true",
+        help="shard the K rollouts across all visible devices",
+    )
 
     mc = sub.add_parser("mountaincar", help="continuous mountain car")
     _common(mc, 20, 15, 0.1)
@@ -96,7 +100,13 @@ def main(argv=None) -> int:
         dtype=dtype,
     )
     if args.cmd == "car":
+        sharding = None
+        if args.sharded:
+            from mpopis_tpu.parallel import make_sample_mesh, sample_sharding
+
+            sharding = sample_sharding(make_sample_mesh(), ndim=3)
         simulate.simulate_car_racing(
+            sample_sharding=sharding,
             num_cars=args.cars,
             laps=args.laps,
             track=args.track,

@@ -204,27 +204,33 @@ def _car_rollout_costs_impl(
     dt: float,
     ddt: float,
     state0_x: jnp.ndarray,
-    controls: jnp.ndarray,
+    controls_tak: jnp.ndarray,  # (T, na, K)
     horizon: int,
     num_cars: int,
     block_k: int,
     interpret: bool,
 ) -> jnp.ndarray:
-    k = controls.shape[0]
+    k = controls_tak.shape[2]
     n_sub = int(round(dt / ddt))
     m_track = len(track_xs)
 
-    k_pad = _round_up(max(k, LANES), min(block_k, _round_up(k, LANES)))
-    block_k = min(block_k, k_pad)
-    k_pad = _round_up(k_pad, block_k)
+    k_pad = _round_up(k, LANES)
+    if k_pad <= block_k:
+        # single block: block shape == full array shape (exempt from the
+        # (8,128) minimum-tile rule)
+        block_k = k_pad
+    else:
+        block_k = max(block_k, 8 * LANES)  # min out tile (8,128) per block
+        k_pad = _round_up(k_pad, block_k)
     s_sub = block_k // LANES
     grid = (k_pad // block_k,)
     na = 2 * num_cars
 
-    ctrl = jnp.zeros((horizon, na, k_pad), dtype=jnp.float32)
-    ctrl = ctrl.at[:, :, :k].set(
-        jnp.transpose(controls.astype(jnp.float32), (1, 2, 0))
-    )
+    if k_pad == k:
+        ctrl = controls_tak.astype(jnp.float32)
+    else:
+        ctrl = jnp.zeros((horizon, na, k_pad), dtype=jnp.float32)
+        ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
     state0 = state0_x[: 8 * num_cars].astype(jnp.float32).reshape(1, -1)
     tx = jnp.asarray(track_xs, dtype=jnp.float32).reshape(1, -1)
     ty = jnp.asarray(track_ys, dtype=jnp.float32).reshape(1, -1)
@@ -265,6 +271,23 @@ def car_rollout_costs(
     """Fused rollout for CarRacingEnv / MultiCarRacingEnv: (K,) trajectory
     costs Σ_t -reward(s_t). Semantically identical to rollout_batch (the
     vmap path is the correctness oracle; see tests/test_kernels.py)."""
+    ctrl_tak = jnp.transpose(controls, (1, 2, 0))
+    return car_rollout_costs_tak(
+        env, state0_x, ctrl_tak, horizon, block_k=block_k, interpret=interpret
+    )
+
+
+def car_rollout_costs_tak(
+    env,
+    state0_x: jnp.ndarray,
+    controls_tak: jnp.ndarray,  # (T, 2*num_cars, K), already clamped
+    horizon: int,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rollout taking controls in the kernel's native (T, na, K)
+    layout — a flat (cs, K) candidate matrix reshapes to this for free, so
+    the GMPPI driver's hot path avoids any transpose."""
     num_cars = getattr(env, "num_cars", 1)
     # hashable track arrays for the jit static trace: pass as tuples
     costs = _car_rollout_costs_impl(
@@ -275,7 +298,7 @@ def car_rollout_costs(
         env.dt,
         env.ddt,
         state0_x,
-        controls,
+        controls_tak,
         horizon,
         num_cars,
         block_k,

@@ -115,6 +115,14 @@ class CarRacingEnv(Env):
 
         return car_rollout_costs(self, state.x, controls, controls.shape[1])
 
+    def fused_rollout_costs_tak(self, state: EnvState, controls_tak: jnp.ndarray):
+        """Same, with controls in the kernel-native (T, 2, K) layout."""
+        from mpopis_tpu.kernels.car_rollout import car_rollout_costs_tak
+
+        return car_rollout_costs_tak(
+            self, state.x, controls_tak, controls_tak.shape[0]
+        )
+
     @property
     def supports_fused_rollout(self) -> bool:
         import jax

@@ -180,13 +180,27 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
             return jax.lax.with_sharding_constraint(x, sample_sharding)
         return x
 
+    use_fused = (
+        cfg.use_fused_rollout
+        and not cfg.log
+        and sample_sharding is None
+        and getattr(env, "supports_fused_rollout", False)
+    )
     base_rollout = _make_base_rollout(env, cfg, sample_sharding)
 
     def compute_costs(env_state, u_cur, e, chol, u_orig):
         v = u_cur[:, None] + e  # (cs, K), unclamped candidates
-        controls = v.T.reshape(k_samples, horizon, action_dim)
-        controls = constrain(jnp.clip(controls, low, high))
-        base, trajs = base_rollout(env_state, controls)
+        if use_fused:
+            # clamp in flat layout; (cs,K) -> (T,na,K) is a free reshape, so
+            # the kernel's native layout is reached with zero transposes
+            low_f = jnp.tile(low, horizon)[:, None]
+            high_f = jnp.tile(high, horizon)[:, None]
+            vc = jnp.clip(v, low_f, high_f).reshape(horizon, action_dim, k_samples)
+            base, trajs = env.fused_rollout_costs_tak(env_state, vc), None
+        else:
+            controls = v.T.reshape(k_samples, horizon, action_dim)
+            controls = constrain(jnp.clip(controls, low, high))
+            base, trajs = base_rollout(env_state, controls)
         if gamma != 0.0:
             # γ·U_origᵀ Σ⁻¹ (V_k − U_orig) with the *current* sampling Σ
             # (ref :249, :272; Σ_inv = invcov of this iteration's P).

@@ -130,10 +130,11 @@ class CrossEntropyStrategy(Strategy):
     m_elite: int = 10
 
     def update(self, carry, key, u_orig, it_index):
-        order = jnp.argsort(carry.costs)
-        elite_idx = order[: self.m_elite]
+        # top_k instead of a full argsort: elites come out cost-sorted, which
+        # is all the refit and the early-stop check need (ref :455-461)
+        neg_costs, elite_idx = jax.lax.top_k(-carry.costs, self.m_elite)
         elite = carry.E[:, elite_idx]  # (cs, m)
-        elite_costs = carry.costs[elite_idx]
+        elite_costs = -neg_costs
         stop = jnp.max(jnp.abs(jnp.diff(elite_costs))) < self.cfg.elite_stop_tol
         sigma = shrinkage_cov(elite.T, self.cfg.sigma_est)
         sigma = _jittered(sigma, self.cfg.cov_jitter)

@@ -65,7 +65,7 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
         def track_dist(x, y):
             """(within, dist) per lane; ref car_racing_tracks.jl:64-92."""
 
-            def scan_pt(m, carry):
+            def one_pt(m, carry):
                 min_d2, bx, by, bpx, bpy, bnx, bny, bw = carry
                 px = tx_ref[0, m]
                 py = ty_ref[0, m]
@@ -84,11 +84,22 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
                     jnp.where(better, tw_ref[0, m], bw),
                 )
 
+            # 4x manual unroll of the centerline sweep: fewer loop-carried
+            # iterations for the same compare/select work.
+            unroll = 4
+            m_main = (m_track // unroll) * unroll
+
+            def scan_block(b, carry):
+                m0 = b * unroll
+                for off in range(unroll):
+                    carry = one_pt(m0 + off, carry)
+                return carry
+
             init = (full(3.4e38), full(0.0), full(0.0), full(0.0),
                     full(0.0), full(0.0), full(0.0), full(0.0))
-            _, bx, by, bpx, bpy, bnx, bny, bw = jax.lax.fori_loop(
-                0, m_track, scan_pt, init
-            )
+            carry = jax.lax.fori_loop(0, m_main // unroll, scan_block, init)
+            carry = jax.lax.fori_loop(m_main, m_track, one_pt, carry)
+            _, bx, by, bpx, bpy, bnx, bny, bw = carry
             d_prev2 = (bpx - x) ** 2 + (bpy - y) ** 2
             d_next2 = (bnx - x) ** 2 + (bny - y) ** 2
             use_prev = d_prev2 <= d_next2
@@ -147,9 +158,13 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
                 vx = vx + vx_dot * ddt
                 vy = vy + vy_dot * ddt
                 psi = psi + psid * ddt
-                psi = kmath.atan2(jnp.sin(psi), jnp.cos(psi))
-                x = x + (vx * jnp.cos(psi) - vy * jnp.sin(psi)) * ddt
-                y = y + (vx * jnp.sin(psi) + vy * jnp.cos(psi)) * ddt
+                # wrap ψ via its own sin/cos and reuse them for the position
+                # update (sin/cos are invariant to the wrap, ref :330-332)
+                sin_p = jnp.sin(psi)
+                cos_p = jnp.cos(psi)
+                psi = kmath.atan2(sin_p, cos_p)
+                x = x + (vx * cos_p - vy * sin_p) * ddt
+                y = y + (vx * sin_p + vy * cos_p) * ddt
             return (x, y, psi, vx, vy, psid, delta)
 
         def action_step(t, carry):

@@ -211,7 +211,12 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
     chol0 = jnp.linalg.cholesky(sigma0_j)
     n_its = cfg.opt_its if cfg.kind not in ("gmppi",) else 1
 
-    def policy_step(env_state: EnvState, pol_state: PolicyState):
+    def policy_step(env_state: EnvState, pol_state: PolicyState, z=None):
+        """z: optional (opt_its, cs, K) standard normals overriding the
+        policy RNG — the exact-match debugging harness for cross-
+        implementation comparison (SURVEY.md §7: parity vs the Julia
+        reference is defined at matched sampling moments; with injected
+        normals it becomes exact)."""
         u_orig = pol_state.U
         key_next, k_loop = jax.random.split(pol_state.key)
 
@@ -232,8 +237,11 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
 
         def body(carry, n):
             key, k_samp, k_strat = jax.random.split(carry.key, 3)
-            z = jax.random.normal(k_samp, (cs, k_samples), dtype=dtype)
-            e = carry.chol @ z
+            if z is None:
+                z_n = jax.random.normal(k_samp, (cs, k_samples), dtype=dtype)
+            else:
+                z_n = z[n]
+            e = carry.chol @ z_n
             costs, trajs = compute_costs(env_state, carry.U, e, carry.chol, u_orig)
             base = carry.replace(E=e, costs=costs, trajs=trajs)
             new, stop = strategy.update(base, k_strat, u_orig, n + 1)
@@ -286,9 +294,14 @@ def _make_mppi_step(env, cfg, u0_flat, sigma_as, sample_sharding):
 
     base_rollout = _make_base_rollout(env, cfg, sample_sharding)
 
-    def policy_step(env_state: EnvState, pol_state: PolicyState):
+    def policy_step(env_state: EnvState, pol_state: PolicyState, z=None):
+        """z: optional (K, T, as) standard normals overriding the policy RNG
+        (exact-match debugging harness)."""
         key_next, k_samp = jax.random.split(pol_state.key)
-        z = jax.random.normal(k_samp, (k_samples, horizon, action_dim), dtype=dtype)
+        if z is None:
+            z = jax.random.normal(
+                k_samp, (k_samples, horizon, action_dim), dtype=dtype
+            )
         e = z @ chol_as.T  # E[k,t] ~ N(0, Σ_as) (ref :154-156)
         u_mat = pol_state.U.reshape(horizon, action_dim)
         controls = constrain(jnp.clip(u_mat[None, :, :] + e, low, high))

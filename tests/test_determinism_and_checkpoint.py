@@ -123,3 +123,31 @@ def test_self_golden_car_racing_cemppi():
     with open(golden_path) as f:
         golden = np.asarray(json.load(f))
     np.testing.assert_allclose(actions, golden, rtol=1e-10, atol=1e-12)
+
+
+import json
+import os
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kind", ["mppi", "gmppi", "imppi", "cemppi",
+                                   "cmamppi", "muaismppi", "musigmaaismppi",
+                                   "pmcmppi", "nesmppi"])
+def test_self_golden_all_policies(kind):
+    """Pin 2 control steps of every policy variant on MountainCar (f64)."""
+    env = MountainCarEnv(dtype=jnp.float64)
+    cfg = PolicyConfig(kind=kind, num_samples=16, horizon=8, lam=0.1,
+                       opt_its=3, lambda_ais=0.1, sigma_est="lw",
+                       cma_sigma=0.75)
+    actions, _, _ = _run(env, cfg, 17, 2, [1.5])
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        f"all_{kind}_seed17.json")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(actions.tolist(), f)
+        _pytest.skip("golden created; rerun to compare")
+    with open(path) as f:
+        golden = np.asarray(json.load(f))
+    np.testing.assert_allclose(actions, golden, rtol=1e-10, atol=1e-12)

@@ -15,7 +15,8 @@ import argparse
 from mpopis_tpu.policies.config import POLICY_KINDS
 
 
-def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float):
+def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float,
+            ais_its: int = 10, lambda_ais: float = 20.0):
     p.add_argument("--policy", default="cemppi", help=f"one of {POLICY_KINDS}")
     p.add_argument("--trials", type=int, default=1)
     p.add_argument("--steps", type=int, default=200)
@@ -23,8 +24,8 @@ def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float):
     p.add_argument("--horizon", type=int, default=horizon)
     p.add_argument("--lam", type=float, default=lam)
     p.add_argument("--alpha", type=float, default=1.0)
-    p.add_argument("--ais-its", type=int, default=10)
-    p.add_argument("--lambda-ais", type=float, default=20.0)
+    p.add_argument("--ais-its", type=int, default=ais_its)
+    p.add_argument("--lambda-ais", type=float, default=lambda_ais)
     p.add_argument("--ce-elite-threshold", type=float, default=0.8)
     p.add_argument("--ce-sigma-est", default="ss")
     p.add_argument("--cma-sigma", type=float, default=0.75)
@@ -52,12 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the K rollouts across all visible devices",
     )
 
+    # the reference's mountaincar/cartpole drivers default to 5 AIS
+    # iterations with λ_ais=0.1 (mountaincar_example.jl:59-60)
     mc = sub.add_parser("mountaincar", help="continuous mountain car")
-    _common(mc, 20, 15, 0.1)
+    _common(mc, 20, 15, 0.1, ais_its=5, lambda_ais=0.1)
     mc.add_argument("--save-gif", action="store_true")
 
     cp = sub.add_parser("cartpole", help="continuous cart-pole")
-    _common(cp, 20, 15, 0.1)
+    _common(cp, 20, 15, 0.1, ais_its=5, lambda_ais=0.1)
     cp.add_argument("--save-gif", action="store_true")
 
     mj = sub.add_parser("mujoco", help="host-batched MuJoCo (envpool-lite engine)")
@@ -118,7 +121,6 @@ def main(argv=None) -> int:
             **common,
         )
     elif args.cmd == "mountaincar":
-        common.setdefault("lambda_ais", 0.1)
         simulate.simulate_mountaincar(save_gif=args.save_gif, **common)
     elif args.cmd == "cartpole":
         simulate.simulate_cartpole(save_gif=args.save_gif, **common)

@@ -278,10 +278,38 @@ def simulate_car_racing(
         pol_log, ais_its, lambda_ais, ce_elite_threshold, ce_sigma_est,
         cma_sigma, cma_elite_threshold, sample_sharding=sample_sharding,
     )
-    reward_fn = jax.jit(env.reward)
-    step_fn = jax.jit(env.step)
-    beta_fn = jax.jit(env.betas if num_cars > 1 else env.beta)
-    within_fn = jax.jit(env.within_track)
+    has_noise = sim_type == "cr" and bool(
+        state_x_sigma or state_y_sigma or state_psi_sigma
+    )
+
+    def _stats_vec(s, rew):
+        """Per-step bookkeeping packed into ONE device vector so the host
+        loop pays a single transfer per control step:
+        [rew, within, d, curr_y, vs(num_cars), betas(num_cars)]
+        (car_example.jl:240-270)."""
+        cars = s.x.reshape(num_cars, 8)
+        vs = jnp.sqrt(cars[:, 3] ** 2 + cars[:, 4] ** 2)
+        betas = jnp.abs(jnp.arctan2(cars[:, 4], cars[:, 3]))
+        within, _ = env.within_track(s)
+        d = jnp.min(jnp.sqrt(cars[:, 0] ** 2 + cars[:, 1] ** 2))
+        curr_y = jnp.min(cars[:, 1])
+        head = jnp.stack(
+            [rew, within.astype(rew.dtype), d.astype(rew.dtype),
+             curr_y.astype(rew.dtype)]
+        )
+        return jnp.concatenate([head, vs.astype(rew.dtype), betas.astype(rew.dtype)])
+
+    @jax.jit
+    def fused_step(s, ps):
+        """One device call per control step: policy + env step + reward
+        (+ packed metrics when no host-side state noise interposes)."""
+        act, ps2, info = pol.step(s, ps)
+        s2 = env.step(s, act)
+        rew = env.reward(s2)
+        stats = None if has_noise else _stats_vec(s2, rew)
+        return s2, ps2, info, rew, stats
+
+    stats_fn = jax.jit(_stats_vec)
 
     frames = [] if save_gif else None
     header = f"Trial    #: {'Reward':>12} : {'Steps':>7}: {'Reward/Step':>12}"
@@ -320,11 +348,8 @@ def simulate_car_racing(
         done = False
 
         while not done and cnt <= num_steps:
-            act, ps, info = pol.step(s, ps)
-            s = step_fn(s, act)
+            s, ps, info, step_rew_d, stats_d = fused_step(s, ps)
             cnt += 1
-            step_rew = float(reward_fn(s))
-            rew += step_rew
 
             if frames is not None or plot_traj:
                 from mpopis_tpu.harness import plotting
@@ -338,7 +363,7 @@ def simulate_car_racing(
                 plotting.close(fig)
 
             # additive state noise, single car only (car_example.jl:224-236)
-            if sim_type == "cr" and (state_x_sigma or state_y_sigma or state_psi_sigma):
+            if has_noise:
                 x = np.asarray(s.x).copy()
                 x[0] += state_x_sigma * noise_rng.standard_normal()
                 x[1] += state_y_sigma * noise_rng.standard_normal()
@@ -349,19 +374,16 @@ def simulate_car_racing(
                 )
                 x[3:5] = rot @ x[3:5]
                 s = s.replace(x=jnp.asarray(x, dtype=dtype))
+                stats_d = stats_fn(s, step_rew_d)
 
-            xs = np.asarray(s.x)
-            if sim_type == "mcr":
-                cars = xs.reshape(num_cars, 8)
-                curr_y = float(np.min(cars[:, 1]))
-                vs = np.linalg.norm(cars[:, 3:5], axis=1)
-                bs = np.abs(np.asarray(beta_fn(s)))
-                d = float(np.min(np.linalg.norm(cars[:, :2], axis=1)))
-            else:
-                curr_y = float(xs[1])
-                vs = np.array([np.linalg.norm(xs[3:5])])
-                bs = np.array([abs(float(beta_fn(s)))])
-                d = float(np.linalg.norm(xs[:2]))
+            stats = np.asarray(stats_d)  # the single device->host transfer
+            step_rew = float(stats[0])
+            rew += step_rew
+            within_t = bool(stats[1] != 0.0)
+            d = float(stats[2])
+            curr_y = float(stats[3])
+            vs = stats[4 : 4 + num_cars]
+            bs = stats[4 + num_cars :]
             v_mean_log.append(float(np.mean(vs)))
             v_max_log.append(float(np.max(vs)))
             b_mean_log.append(float(np.mean(bs)))
@@ -370,7 +392,6 @@ def simulate_car_racing(
             # violation accounting (car_example.jl:255-263)
             if step_rew < -4000:
                 ex_b = bool(np.max(bs) > env.params.beta_limit)
-                within_t = bool(np.asarray(within_fn(s)[0]))
                 if ex_b:
                     b_viol += 1
                 if not within_t:

@@ -21,7 +21,17 @@ BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
 
 
 def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
-                     steps: int = 20, warmup: int = 3) -> float:
+                     n_short: int = 5, n_long: int = 25, warmup: int = 3) -> float:
+    """Per-step time from the slope between two chained-run lengths.
+
+    Each MPC step feeds the next (no pipelining of independent work), and
+    every run ends in a forced device->host transfer. Taking the slope
+    (t_long - t_short)/(n_long - n_short) cancels the fixed dispatch +
+    transfer round-trip of the TPU relay, which is measurement-environment
+    latency, not program cost (it does not exist on directly-attached
+    TPUs); the transfer forces real completion, which a bare
+    block_until_ready does not reliably do through the relay.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -46,18 +56,25 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
         action, pol_state, _ = pol.step(env_state, pol_state)
         return env.step(env_state, action), pol_state
 
-    s = env.reset()
-    ps = pol.init_state(1)
+    s, ps = env.reset(), pol.init_state(1)
     for _ in range(warmup):
         s, ps = mpc_step(s, ps)
-    jax.block_until_ready(s.x)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        s, ps = mpc_step(s, ps)
-    jax.block_until_ready(s.x)
-    dt = time.perf_counter() - t0
-    assert bool(np.isfinite(np.asarray(s.x)).all())
-    return steps / dt
+    np.asarray(s.x)
+
+    def run(n: int) -> float:
+        s, ps = env.reset(), pol.init_state(1)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, ps = mpc_step(s, ps)
+        x_host = np.asarray(s.x)
+        dt = time.perf_counter() - t0
+        assert bool(np.isfinite(x_host).all())
+        return dt
+
+    t_short = min(run(n_short) for _ in range(2))
+    t_long = min(run(n_long) for _ in range(2))
+    per_step = (t_long - t_short) / (n_long - n_short)
+    return 1.0 / per_step
 
 
 def main() -> None:

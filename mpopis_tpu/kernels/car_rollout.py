@@ -35,19 +35,47 @@ from mpopis_tpu.kernels import kmath
 from mpopis_tpu.models.car_racing import CarParams
 
 _G = 9.81
+_TWO_PI = float(2.0 * np.pi)
+_INV_TWO_PI = float(1.0 / (2.0 * np.pi))
 LANES = 128
 
 
-def _tire_fy(alpha, mu, c_a, fz, fx):
-    fy_max = jnp.sqrt(jnp.maximum((mu * fz) ** 2 - fx * fx, 1e-8))
-    ta = kmath.tan(alpha)
+def _tire_fy_sc(sin_num, cos_num, vx, y_num, mu, c_a, fz, fx):
+    """Brush tire lateral force from scaled slip-angle components.
+
+    `sin_num = h·sin(α)` and `cos_num = h·cos(α)` for some h > 0, with
+    α = atan2(y_num, vx) − δ the (unwrapped) slip angle of the oracle
+    (models/car_racing.py::_tire_fy, ref car_racing.jl:252-260). α only
+    enters the tire model through tan(α), sign(α), and the test
+    |α| < atan(3·fy_max/c_a) — all exactly recoverable from the
+    components, which replaces two polynomial transcendentals (atan2 +
+    atan) and a tan per tire per substep with one divide and compares:
+
+    - tan(α) = sin_num / cos_num (quotient identity);
+    - |α| < atan(q) ⟺ cos(α) > 0 ∧ |tan(α)| < q, and since the unwrapped
+      α ∈ (−π−δmax, π+δmax] never reaches the next cos-positive branch,
+      cos_num > 0 decides cos(α) > 0 exactly;
+    - sign(α) = sign(sin_num) except when α lies beyond ±π (possible only
+      for the front tire when reversing, vx < 0): algebra on
+      tan θ = y_num/vx reduces `α > π` to vx<0 ∧ y_num≥0 ∧ sin_num<0 and
+      `α < −π` to vx<0 ∧ y_num<0 ∧ sin_num>0.
+    """
+    fy2 = jnp.maximum((mu * fz) ** 2 - fx * fx, 1e-8)
+    inv_fy = jax.lax.rsqrt(fy2)
+    fy_max = fy2 * inv_fy
+    ta = sin_num / cos_num
     cubic = (
         -c_a * ta
-        + (c_a * c_a / (3.0 * fy_max)) * jnp.abs(ta) * ta
-        - (c_a**3 / (27.0 * fy_max * fy_max)) * ta * ta * ta
+        + ((c_a * c_a) / 3.0) * inv_fy * jnp.abs(ta) * ta
+        - ((c_a**3) / 27.0) * (inv_fy * inv_fy) * ta * ta * ta
     )
-    sat = -fy_max * jnp.sign(alpha)
-    return jnp.where(jnp.abs(alpha) < kmath.atan(3.0 * fy_max / c_a), cubic, sat)
+    sgn = jnp.sign(sin_num)
+    rev = vx < 0.0
+    sgn = jnp.where(rev & (y_num >= 0.0) & (sin_num < 0.0), 1.0, sgn)
+    sgn = jnp.where(rev & (y_num < 0.0) & (sin_num > 0.0), -1.0, sgn)
+    sat = -fy_max * sgn
+    in_range = (cos_num > 0.0) & (jnp.abs(ta) * c_a < 3.0 * fy_max)
+    return jnp.where(in_range, cubic, sat)
 
 
 def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
@@ -138,31 +166,42 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
 
             for _ in range(n_sub):
                 delta = delta + ddelta * ddt
-                alpha_f = kmath.atan2(vy + p.l_f * psid, vx) - delta
-                alpha_r = kmath.atan2(vy - p.l_r * psid, vx)
+                sin_d = jnp.sin(delta)
+                cos_d = jnp.cos(delta)
+                # slip angles as scaled sin/cos components (see _tire_fy_sc):
+                # front α_f = atan2(y_f, vx) − δ via the angle-difference
+                # identity; rear α_r = atan2(y_r, vx) directly.
+                y_f = vy + p.l_f * psid
+                y_r = vy - p.l_r * psid
+                sin_f = y_f * cos_d - vx * sin_d
+                cos_f = vx * cos_d + y_f * sin_d
                 fx_aero = (p.c_d0 + p.c_d1 * jnp.abs(vx)) * jnp.sign(vx)
                 brake = p.fx_min * jnp.minimum(pedal, 0.0) * jnp.sign(vx)
                 fx = accel + brake
                 fxf = lam * fx
                 fxr = (1.0 - lam) * fx
-                fzf = (p.m * p.l_r * _G - p.h_cm * fx) / ll
-                fzr = (p.m * p.l_f * _G + p.h_cm * fx) / ll
-                fyf = _tire_fy(alpha_f, p.mu_f, p.c_af, fzf, fxf)
-                fyr = _tire_fy(alpha_r, p.mu_r, p.c_ar, fzr, fxr)
-                sin_d = jnp.sin(delta)
-                cos_d = jnp.cos(delta)
-                psidd = (p.l_f * (fxf * sin_d + fyf * cos_d) - p.l_r * fyr) / p.i_zz
-                vy_dot = (fyf * cos_d + fxf * sin_d + fyr) / p.m - psid * vx
-                vx_dot = (fxf * cos_d - fyf * sin_d + fxr - fx_aero) / p.m + psid * vy
+                # div-by-constant → mul (ll, m, i_zz are compile-time)
+                fzf = (p.m * p.l_r * _G - p.h_cm * fx) * (1.0 / ll)
+                fzr = (p.m * p.l_f * _G + p.h_cm * fx) * (1.0 / ll)
+                fyf = _tire_fy_sc(sin_f, cos_f, vx, y_f, p.mu_f, p.c_af, fzf, fxf)
+                fyr = _tire_fy_sc(y_r, vx, vx, y_r, p.mu_r, p.c_ar, fzr, fxr)
+                psidd = (p.l_f * (fxf * sin_d + fyf * cos_d) - p.l_r * fyr) * (
+                    1.0 / p.i_zz
+                )
+                vy_dot = (fyf * cos_d + fxf * sin_d + fyr) * (1.0 / p.m) - psid * vx
+                vx_dot = (fxf * cos_d - fyf * sin_d + fxr - fx_aero) * (
+                    1.0 / p.m
+                ) + psid * vy
                 psid = psid + psidd * ddt
                 vx = vx + vx_dot * ddt
                 vy = vy + vy_dot * ddt
                 psi = psi + psid * ddt
-                # wrap ψ via its own sin/cos and reuse them for the position
-                # update (sin/cos are invariant to the wrap, ref :330-332)
+                # wrap ψ to [−π, π] by subtracting the nearest 2π multiple
+                # (the oracle's atan2(sin ψ, cos ψ), ref :330-332, computes
+                # the same wrap; sin/cos are invariant to it)
                 sin_p = jnp.sin(psi)
                 cos_p = jnp.cos(psi)
-                psi = kmath.atan2(sin_p, cos_p)
+                psi = psi - _TWO_PI * jnp.round(psi * _INV_TWO_PI)
                 x = x + (vx * cos_p - vy * sin_p) * ddt
                 y = y + (vx * sin_p + vy * cos_p) * ddt
             return (x, y, psi, vx, vy, psid, delta)

@@ -35,8 +35,6 @@ from mpopis_tpu.kernels import kmath
 from mpopis_tpu.models.car_racing import CarParams
 
 _G = 9.81
-_TWO_PI = float(2.0 * np.pi)
-_INV_TWO_PI = float(1.0 / (2.0 * np.pi))
 LANES = 128
 
 
@@ -144,7 +142,7 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
 
         def car_reward(car):
             """Per-car reward (ref car_racing.jl:201-213)."""
-            x, y, psi, vx, vy, psid, delta = car
+            x, y, _sin_p, _cos_p, vx, vy, psid, delta = car
             within, dist = track_dist(x, y)
             beta = kmath.atan2(vy, vx)
             rew = jnp.where(within, 0.0, -1000000.0)
@@ -154,8 +152,18 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
             return rew
 
         def advance_car(car, steer, pedal):
-            """One dt action step = n_sub Euler substeps (car_racing.jl:282-344)."""
-            x, y, psi, vx, vy, psid, delta = car
+            """One dt action step = n_sub Euler substeps (car_racing.jl:282-344).
+
+            Carries (sin ψ, cos ψ) instead of ψ — the heading only ever enters
+            the dynamics through its sin/cos (position update; the wrap at
+            ref :330-332 is sin/cos-invariant), so ψ is advanced as a small-
+            angle rotation (4th-order sin/cos of ψ̇·δt, renormalized once per
+            action step) and δ's sin/cos by composing a per-action-step
+            constant rotation (δ̇ is constant within the step, ref :295-296),
+            replacing four native transcendentals per substep with a few
+            multiply-adds.
+            """
+            x, y, sin_p, cos_p, vx, vy, psid, delta = car
             target = steer * p.delta_max
             commanded = jnp.abs(target - delta) / dt
             ddelta = jnp.minimum(commanded, p.delta_dot_max) * jnp.sign(
@@ -164,10 +172,19 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
             lam = jnp.where(pedal <= 0.0, p.lambda_brake, p.lambda_drive)
             accel = p.fx_max * jnp.maximum(pedal, 0.0)
 
+            # δ rotation increment for this action step (native trig once)
+            d_step = ddelta * ddt
+            sin_e = jnp.sin(d_step)
+            cos_e = jnp.cos(d_step)
+            sin_d = jnp.sin(delta)
+            cos_d = jnp.cos(delta)
+
             for _ in range(n_sub):
-                delta = delta + ddelta * ddt
-                sin_d = jnp.sin(delta)
-                cos_d = jnp.cos(delta)
+                delta = delta + d_step
+                sin_d, cos_d = (
+                    sin_d * cos_e + cos_d * sin_e,
+                    cos_d * cos_e - sin_d * sin_e,
+                )
                 # slip angles as scaled sin/cos components (see _tire_fy_sc):
                 # front α_f = atan2(y_f, vx) − δ via the angle-difference
                 # identity; rear α_r = atan2(y_r, vx) directly.
@@ -195,16 +212,21 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
                 psid = psid + psidd * ddt
                 vx = vx + vx_dot * ddt
                 vy = vy + vy_dot * ddt
-                psi = psi + psid * ddt
-                # wrap ψ to [−π, π] by subtracting the nearest 2π multiple
-                # (the oracle's atan2(sin ψ, cos ψ), ref :330-332, computes
-                # the same wrap; sin/cos are invariant to it)
-                sin_p = jnp.sin(psi)
-                cos_p = jnp.cos(psi)
-                psi = psi - _TWO_PI * jnp.round(psi * _INV_TWO_PI)
+                # rotate (sin ψ, cos ψ) by the small angle ψ̇·δt (|dψ|≲0.05:
+                # 4th-order series is below f32 rounding of native sin/cos)
+                dp = psid * ddt
+                dp2 = dp * dp
+                sin_q = dp * (1.0 - dp2 * (1.0 / 6.0))
+                cos_q = 1.0 - dp2 * (0.5 - dp2 * (1.0 / 24.0))
+                sin_p, cos_p = (
+                    sin_p * cos_q + cos_p * sin_q,
+                    cos_p * cos_q - sin_p * sin_q,
+                )
                 x = x + (vx * cos_p - vy * sin_p) * ddt
                 y = y + (vx * sin_p + vy * cos_p) * ddt
-            return (x, y, psi, vx, vy, psid, delta)
+            # renormalize the heading rotation once per action step
+            inv_n = jax.lax.rsqrt(sin_p * sin_p + cos_p * cos_p)
+            return (x, y, sin_p * inv_n, cos_p * inv_n, vx, vy, psid, delta)
 
         def action_step(t, carry):
             cars, cost = carry
@@ -228,7 +250,16 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
             return (tuple(new_cars), cost - rew)
 
         cars0 = tuple(
-            tuple(full(state0_ref[0, 8 * ci + j]) for j in range(7))
+            (
+                full(state0_ref[0, 8 * ci + 0]),  # x
+                full(state0_ref[0, 8 * ci + 1]),  # y
+                jnp.sin(full(state0_ref[0, 8 * ci + 2])),  # sin ψ
+                jnp.cos(full(state0_ref[0, 8 * ci + 2])),  # cos ψ
+                full(state0_ref[0, 8 * ci + 3]),  # Vx
+                full(state0_ref[0, 8 * ci + 4]),  # Vy
+                full(state0_ref[0, 8 * ci + 5]),  # ψ̇
+                full(state0_ref[0, 8 * ci + 6]),  # δ
+            )
             for ci in range(num_cars)
         )
         final_cars, final_cost = jax.lax.fori_loop(

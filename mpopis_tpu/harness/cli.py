@@ -32,6 +32,11 @@ def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float,
     p.add_argument("--cma-elite-threshold", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--f64", action="store_true", help="use float64 (needs JAX_ENABLE_X64)")
+    p.add_argument(
+        "--steps-per-call", type=int, default=None,
+        help="control steps per compiled device call (default: 10, or 1 when "
+        "gif/plot/noise/logging needs the host every step; ignored for mujoco)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -110,6 +115,7 @@ def main(argv=None) -> int:
             sharding = sample_sharding(make_sample_mesh(), ndim=3)
         simulate.simulate_car_racing(
             sample_sharding=sharding,
+            steps_per_call=args.steps_per_call,
             num_cars=args.cars,
             laps=args.laps,
             track=args.track,
@@ -121,9 +127,13 @@ def main(argv=None) -> int:
             **common,
         )
     elif args.cmd == "mountaincar":
-        simulate.simulate_mountaincar(save_gif=args.save_gif, **common)
+        simulate.simulate_mountaincar(
+            save_gif=args.save_gif, steps_per_call=args.steps_per_call, **common
+        )
     elif args.cmd == "cartpole":
-        simulate.simulate_cartpole(save_gif=args.save_gif, **common)
+        simulate.simulate_cartpole(
+            save_gif=args.save_gif, steps_per_call=args.steps_per_call, **common
+        )
     elif args.cmd == "mujoco":
         from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
 

@@ -3,9 +3,17 @@ harness: config banner, per-trial seeded runs, violation/lap bookkeeping,
 AVE/STD/MED/L95/U95/MIN/MAX summary tables, optional trajectory plots/gifs.
 
 Ref: examples/car_example.jl (simulate_car_racing), mountaincar_example.jl,
-cartpole_example.jl. The MPC loop runs host-side (one jitted policy call per
-control step), exactly like the reference's `act = pol(env); env(act)` loop —
-but each policy call is a single device-resident program.
+cartpole_example.jl. The MPC loop runs host-side like the reference's
+`act = pol(env); env(act)` loop — but each device call is a single
+compiled program covering `steps_per_call` full control steps
+(policy + env step + reward + packed telemetry under `lax.scan`), so the
+host pays one dispatch and one device→host transfer per chunk instead of
+per step. Early termination (laps/violations) is detected host-side from
+the telemetry block; steps computed past the stopping point inside a
+chunk are simply discarded, which leaves results identical to the
+step-by-step loop (tests/test_harness.py pins this). Paths that need
+host interposition every step (gif rendering, trajectory plots, additive
+state noise, policy logging) fall back to steps_per_call=1.
 """
 
 from __future__ import annotations
@@ -117,9 +125,13 @@ def _simulate_simple(
     save_gif=False,
     gif_name=None,
     print_output=True,
+    steps_per_call=None,
 ):
     if seed is None:
         seed = _default_seed()
+    chunk = steps_per_call
+    if chunk is None:
+        chunk = 1 if save_gif else 10
     _banner(
         print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
         horizon, lam, alpha, ais_its, lambda_ais, ce_elite_threshold,
@@ -134,6 +146,21 @@ def _simulate_simple(
     )
 
     frames = [] if save_gif else None
+
+    @jax.jit
+    def fused_chunk(s, ps):
+        """`chunk` control steps in one device program; emits per-step
+        [reward, done] rows so the host transfers once per chunk."""
+        def body(carry, _):
+            s, ps = carry
+            act, ps2, _ = pol.step(s, ps)
+            s2 = env.step(s, act)
+            r = env.reward(s2)
+            row = jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)])
+            return (s2, ps2), row
+        (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
+        return s2, ps2, rows
+
     rews = np.zeros(num_trials)
     steps = np.zeros(num_trials)
     exec_times = np.zeros(num_trials)
@@ -141,12 +168,22 @@ def _simulate_simple(
         ps = pol.init_state(seed + k)
         s = env.reset(jax.random.PRNGKey(seed + k))
         t0 = time.perf_counter()
-        rew, cnt = 0.0, 0
-        while not bool(s.done) and cnt <= num_steps:
+        rew, cnt, done = 0.0, 0, False
+        while not done and cnt <= num_steps:
+            if chunk > 1:
+                s, ps, rows_d = fused_chunk(s, ps)
+                for r_step, d_step in np.asarray(rows_d):
+                    if done or cnt > num_steps:
+                        break
+                    cnt += 1
+                    rew += float(r_step)
+                    done = bool(d_step)
+                continue
             act, ps, _ = pol.step(s, ps)
             s = env.step(s, act)
             cnt += 1
             rew += float(env.reward(s))
+            done = bool(s.done)
             if frames is not None:
                 from mpopis_tpu.harness import plotting
 
@@ -243,6 +280,7 @@ def simulate_car_racing(
     print_output=True,
     dtype=None,
     sample_sharding=None,
+    steps_per_call=None,
 ):
     """Parity driver for car_example.jl:51-416.
 
@@ -281,6 +319,9 @@ def simulate_car_racing(
     has_noise = sim_type == "cr" and bool(
         state_x_sigma or state_y_sigma or state_psi_sigma
     )
+    chunk = steps_per_call
+    if chunk is None:
+        chunk = 1 if (save_gif or plot_traj or has_noise or pol_log) else 10
 
     def _stats_vec(s, rew):
         """Per-step bookkeeping packed into ONE device vector so the host
@@ -310,6 +351,20 @@ def simulate_car_racing(
         return s2, ps2, info, rew, stats
 
     stats_fn = jax.jit(_stats_vec)
+
+    @jax.jit
+    def fused_chunk(s, ps):
+        """`chunk` control steps in one compiled program (lax.scan),
+        emitting the packed per-step telemetry block — one dispatch and
+        one device→host transfer per chunk."""
+        def body(carry, _):
+            s, ps = carry
+            act, ps2, _ = pol.step(s, ps)
+            s2 = env.step(s, act)
+            rew = env.reward(s2)
+            return (s2, ps2), _stats_vec(s2, rew)
+        (s2, ps2), stats = jax.lax.scan(body, (s, ps), None, length=chunk)
+        return s2, ps2, stats
 
     frames = [] if save_gif else None
     header = f"Trial    #: {'Reward':>12} : {'Steps':>7}: {'Reward/Step':>12}"
@@ -348,66 +403,74 @@ def simulate_car_racing(
         done = False
 
         while not done and cnt <= num_steps:
-            s, ps, info, step_rew_d, stats_d = fused_step(s, ps)
-            cnt += 1
+            if chunk > 1:
+                s, ps, stats_block_d = fused_chunk(s, ps)
+                stats_block = np.asarray(stats_block_d)
+            else:
+                s, ps, info, step_rew_d, stats_d = fused_step(s, ps)
 
-            if frames is not None or plot_traj:
-                from mpopis_tpu.harness import plotting
+                if frames is not None or plot_traj:
+                    from mpopis_tpu.harness import plotting
 
-                fig = plotting.render_frame(
-                    env, s, info if plot_traj else None, plot_traj_perc,
-                    text_output=text_with_plot, text_xy=text_on_plot_xy,
-                )
-                if frames is not None:
-                    frames.append(plotting.figure_to_array(fig))
-                plotting.close(fig)
+                    fig = plotting.render_frame(
+                        env, s, info if plot_traj else None, plot_traj_perc,
+                        text_output=text_with_plot, text_xy=text_on_plot_xy,
+                    )
+                    if frames is not None:
+                        frames.append(plotting.figure_to_array(fig))
+                    plotting.close(fig)
 
-            # additive state noise, single car only (car_example.jl:224-236)
-            if has_noise:
-                x = np.asarray(s.x).copy()
-                x[0] += state_x_sigma * noise_rng.standard_normal()
-                x[1] += state_y_sigma * noise_rng.standard_normal()
-                dpsi = state_psi_sigma * noise_rng.standard_normal()
-                x[2] += dpsi
-                rot = np.array(
-                    [[np.cos(dpsi), np.sin(dpsi)], [-np.sin(dpsi), np.cos(dpsi)]]
-                )
-                x[3:5] = rot @ x[3:5]
-                s = s.replace(x=jnp.asarray(x, dtype=dtype))
-                stats_d = stats_fn(s, step_rew_d)
+                # additive state noise, single car only (car_example.jl:224-236)
+                if has_noise:
+                    x = np.asarray(s.x).copy()
+                    x[0] += state_x_sigma * noise_rng.standard_normal()
+                    x[1] += state_y_sigma * noise_rng.standard_normal()
+                    dpsi = state_psi_sigma * noise_rng.standard_normal()
+                    x[2] += dpsi
+                    rot = np.array(
+                        [[np.cos(dpsi), np.sin(dpsi)], [-np.sin(dpsi), np.cos(dpsi)]]
+                    )
+                    x[3:5] = rot @ x[3:5]
+                    s = s.replace(x=jnp.asarray(x, dtype=dtype))
+                    stats_d = stats_fn(s, step_rew_d)
 
-            stats = np.asarray(stats_d)  # the single device->host transfer
-            step_rew = float(stats[0])
-            rew += step_rew
-            within_t = bool(stats[1] != 0.0)
-            d = float(stats[2])
-            curr_y = float(stats[3])
-            vs = stats[4 : 4 + num_cars]
-            bs = stats[4 + num_cars :]
-            v_mean_log.append(float(np.mean(vs)))
-            v_max_log.append(float(np.max(vs)))
-            b_mean_log.append(float(np.mean(bs)))
-            b_max_log.append(float(np.max(bs)))
+                stats_block = np.asarray(stats_d)[None]
 
-            # violation accounting (car_example.jl:255-263)
-            if step_rew < -4000:
-                ex_b = bool(np.max(bs) > env.params.beta_limit)
-                if ex_b:
-                    b_viol += 1
-                if not within_t:
-                    trk_viol += 1
-                temp_rew = step_rew + ex_b * 5000 + (not within_t) * 1000000
-                if temp_rew < -10500:
-                    crash_viol += 1
+            for stats in stats_block:
+                if done or cnt > num_steps:
+                    break  # steps computed past the stop are discarded
+                cnt += 1
+                step_rew = float(stats[0])
+                rew += step_rew
+                within_t = bool(stats[1] != 0.0)
+                d = float(stats[2])
+                curr_y = float(stats[3])
+                vs = stats[4 : 4 + num_cars]
+                bs = stats[4 + num_cars :]
+                v_mean_log.append(float(np.mean(vs)))
+                v_max_log.append(float(np.max(vs)))
+                b_mean_log.append(float(np.mean(bs)))
+                b_max_log.append(float(np.max(bs)))
 
-            # lap detection on curve.csv (car_example.jl:272-276)
-            if prev_y < 0.0 <= curr_y and d <= 15.0:
-                lap += 1
-                if lap <= laps:
-                    lap_time[lap - 1] = cnt
-            if lap >= laps or trk_viol > 10 or b_viol > 50:
-                done = True
-            prev_y = curr_y
+                # violation accounting (car_example.jl:255-263)
+                if step_rew < -4000:
+                    ex_b = bool(np.max(bs) > env.params.beta_limit)
+                    if ex_b:
+                        b_viol += 1
+                    if not within_t:
+                        trk_viol += 1
+                    temp_rew = step_rew + ex_b * 5000 + (not within_t) * 1000000
+                    if temp_rew < -10500:
+                        crash_viol += 1
+
+                # lap detection on curve.csv (car_example.jl:272-276)
+                if prev_y < 0.0 <= curr_y and d <= 15.0:
+                    lap += 1
+                    if lap <= laps:
+                        lap_time[lap - 1] = cnt
+                if lap >= laps or trk_viol > 10 or b_viol > 50:
+                    done = True
+                prev_y = curr_y
 
         dt_s = time.perf_counter() - t0
         rews[k - 1] = rew

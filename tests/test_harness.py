@@ -83,6 +83,33 @@ def test_simulate_multicar_short():
     assert np.isfinite(metrics["rewards"][0])
 
 
+def test_chunked_loop_matches_per_step():
+    """steps_per_call>1 (lax.scan over control steps, one transfer per
+    chunk) must reproduce the step-by-step loop exactly — including early
+    termination falling mid-chunk (num_steps=15 with chunk=4 discards the
+    chunk's overshoot)."""
+    kwargs = dict(
+        num_trials=2, num_steps=15, policy_type="cemppi", num_samples=32,
+        horizon=12, ais_its=3, seed=2, laps=2, dtype=jnp.float64,
+        print_output=False,
+    )
+    m1 = simulate_car_racing(steps_per_call=1, **kwargs)
+    m4 = simulate_car_racing(steps_per_call=4, **kwargs)
+    for key in ("rewards", "steps", "mean_vs", "max_vs", "beta_violations",
+                "track_violations", "lap_times"):
+        np.testing.assert_allclose(m4[key], m1[key], rtol=1e-12, err_msg=key)
+
+    mc_kwargs = dict(
+        num_trials=1, num_steps=60, policy_type="mppi", num_samples=16,
+        horizon=10, lam=0.1, cov_mat=[1.5], seed=5, dtype=jnp.float64,
+        print_output=False,
+    )
+    s1 = simulate_mountaincar(steps_per_call=1, **mc_kwargs)
+    s7 = simulate_mountaincar(steps_per_call=7, **mc_kwargs)
+    np.testing.assert_allclose(s7["rewards"], s1["rewards"], rtol=1e-12)
+    np.testing.assert_array_equal(s7["steps"], s1["steps"])
+
+
 def test_render_frame_and_gif(tmp_path):
     import jax
 

@@ -30,6 +30,7 @@ class MultiCarRacingEnv(Env):
     track_name: str = "curve"
     track_width: float = 15.0
     track_sample_factor: int = 20
+    fused_interpret: bool = False  # run the Pallas kernel in interpret mode (tests)
 
     action_low = None  # set in __post_init__
     action_high = None
@@ -94,23 +95,27 @@ class MultiCarRacingEnv(Env):
         """Fused Pallas rollout over all N cars (kernels/car_rollout.py)."""
         from mpopis_tpu.kernels.car_rollout import car_rollout_costs
 
-        return car_rollout_costs(self, state.x, controls, controls.shape[1])
+        return car_rollout_costs(
+            self, state.x, controls, controls.shape[1],
+            interpret=self.fused_interpret,
+        )
 
     def fused_rollout_costs_tak(self, state: EnvState, controls_tak: jnp.ndarray):
         """Same, with controls in the kernel-native (T, 2N, K) layout."""
         from mpopis_tpu.kernels.car_rollout import car_rollout_costs_tak
 
         return car_rollout_costs_tak(
-            self, state.x, controls_tak, controls_tak.shape[0]
+            self, state.x, controls_tak, controls_tak.shape[0],
+            interpret=self.fused_interpret,
         )
 
     @property
     def supports_fused_rollout(self) -> bool:
         import jax
 
-        return (
-            self.dtype == jnp.float32
-            and jax.devices()[0].platform in ("tpu", "axon")
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
         )
 
     # conveniences mirroring reference exports -------------------------

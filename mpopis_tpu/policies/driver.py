@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpopis_tpu.models.base import Env, EnvState
+from mpopis_tpu.models.base import Env, EnvState, make_state
 from mpopis_tpu.models.rollout import rollout_batch
 from mpopis_tpu.ops.controls import roll_controls
 from mpopis_tpu.ops.weights import information_theoretic_weights
@@ -34,18 +34,54 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _shard_map_fused(env, sample_sharding, layout: str):
+    """shard_map wrapper running the env's fused Pallas rollout on each
+    device's local K-shard (a pallas_call cannot be auto-partitioned by
+    GSPMD, so manual sharding keeps the fast kernel on the multi-chip
+    path). `layout` is "kta" for (K,T,as) controls or "tak" for (T,as,K).
+    The initial env state is replicated; costs come back sharded over K.
+    """
+    import jax.sharding as shd
+
+    mesh = sample_sharding.mesh
+    axis = sample_sharding.spec[0]
+    if layout == "kta":
+        ctrl_spec = shd.PartitionSpec(axis, None, None)
+
+        def local(x, controls):
+            return env.fused_rollout_costs(make_state(x), controls)
+    else:
+        ctrl_spec = shd.PartitionSpec(None, None, axis)
+
+        def local(x, controls):
+            return env.fused_rollout_costs_tak(make_state(x), controls)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(shd.PartitionSpec(), ctrl_spec),
+        out_specs=shd.PartitionSpec(axis),
+        # pallas_call does not carry varying-mesh-axes metadata
+        check_vma=False,
+    )
+
+
 def _make_base_rollout(env, cfg, sample_sharding):
     """Trajectory-cost evaluator: fused Pallas kernel when the env provides
     one and nothing requires the generic path (trajectory logging needs
-    per-step states; explicit sample sharding currently rides the GSPMD
-    vmap path)."""
+    per-step states). Under explicit sample sharding the kernel runs
+    per-shard inside shard_map."""
     use_fused = (
         cfg.use_fused_rollout
         and not cfg.log
-        and sample_sharding is None
         and getattr(env, "supports_fused_rollout", False)
     )
-    if use_fused:
+    if use_fused and sample_sharding is not None:
+        fused = _shard_map_fused(env, sample_sharding, "kta")
+
+        def rollout_fn(env_state, controls):
+            return fused(env_state.x, controls), None
+    elif use_fused:
         def rollout_fn(env_state, controls):
             return env.fused_rollout_costs(env_state, controls), None
     else:
@@ -183,8 +219,12 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
     use_fused = (
         cfg.use_fused_rollout
         and not cfg.log
-        and sample_sharding is None
         and getattr(env, "supports_fused_rollout", False)
+    )
+    fused_sharded = (
+        _shard_map_fused(env, sample_sharding, "tak")
+        if use_fused and sample_sharding is not None
+        else None
     )
     base_rollout = _make_base_rollout(env, cfg, sample_sharding)
 
@@ -196,7 +236,10 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
             low_f = jnp.tile(low, horizon)[:, None]
             high_f = jnp.tile(high, horizon)[:, None]
             vc = jnp.clip(v, low_f, high_f).reshape(horizon, action_dim, k_samples)
-            base, trajs = env.fused_rollout_costs_tak(env_state, vc), None
+            if fused_sharded is not None:
+                base, trajs = fused_sharded(env_state.x, vc), None
+            else:
+                base, trajs = env.fused_rollout_costs_tak(env_state, vc), None
         else:
             controls = v.T.reshape(k_samples, horizon, action_dim)
             controls = constrain(jnp.clip(controls, low, high))

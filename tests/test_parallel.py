@@ -116,6 +116,38 @@ def test_sharded_policy_step_equals_single_device():
     np.testing.assert_allclose(np.asarray(ps1.U), np.asarray(ps2.U), rtol=1e-12)
 
 
+def test_sharded_fused_kernel_matches_unsharded():
+    """With sample sharding active, the fused Pallas rollout runs per-shard
+    inside shard_map (GSPMD cannot partition a pallas_call); its policy
+    step must match the unsharded fused step and the vmap-path step.
+    Interpret mode stands in for the TPU kernel on the CPU topology."""
+    mesh = _mesh()
+    env = CarRacingEnv(dtype=jnp.float32, fused_interpret=True)
+    assert env.supports_fused_rollout
+    cfg = PolicyConfig(
+        kind="cemppi", num_samples=32, horizon=6, lam=10.0, opt_its=2,
+        sigma_est="ss",
+    )
+    cov = np.diag([0.0625, 0.1])
+    p_fused = make_policy(env, cfg, cov_mat=cov)
+    p_shard = make_policy(
+        env, cfg, cov_mat=cov, sample_sharding=sample_sharding(mesh, ndim=3)
+    )
+    env_vmap = CarRacingEnv(dtype=jnp.float32)
+    assert not env_vmap.supports_fused_rollout
+    p_vmap = make_policy(env_vmap, cfg, cov_mat=cov)
+
+    s = env.reset()
+    a_f, ps_f, i_f = p_fused.step(s, p_fused.init_state(9))
+    a_s, ps_s, i_s = p_shard.step(s, p_shard.init_state(9))
+    a_v, _, i_v = p_vmap.step(s, p_vmap.init_state(9))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_f), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(i_s["costs"]), np.asarray(i_f["costs"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(a_v), np.asarray(a_s), rtol=1e-3, atol=1e-4)
+
+
 def test_sharded_full_training_step_runs():
     """A full MPC step (policy + env step) jitted over the mesh executes."""
     mesh = _mesh()

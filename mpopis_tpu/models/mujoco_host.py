@@ -30,6 +30,12 @@ _TASKS = {
     "Hopper-v4": ("hopper.xml", 2),
     "Walker2d-v4": ("walker2d.xml", 3),
     "Ant-v4": ("ant.xml", 4),
+    "Humanoid-v4": ("humanoid.xml", 5),
+    "HumanoidStandup-v4": ("humanoidstandup.xml", 6),
+    "InvertedPendulum-v4": ("inverted_pendulum.xml", 7),
+    "InvertedDoublePendulum-v4": ("inverted_double_pendulum.xml", 8),
+    "Reacher-v4": ("reacher.xml", 9),
+    "Pusher-v4": ("pusher.xml", 10),
 }
 
 
@@ -112,12 +118,19 @@ class MujocoBatchedEnv:
     def _init_python(self):
         import gymnasium
 
-        self._envs = [
-            gymnasium.make(self.task, reset_noise_scale=0.0).unwrapped
-            for _ in range(self.num_envs)
-        ]
+        def make_one():
+            try:
+                return gymnasium.make(self.task, reset_noise_scale=0.0).unwrapped
+            except TypeError:
+                # tasks whose ctor has no reset_noise_scale (InvertedPendulum,
+                # InvertedDoublePendulum, HumanoidStandup, Reacher, Pusher):
+                # reset() below pins the state to (init_qpos, init_qvel)
+                return gymnasium.make(self.task).unwrapped
+
+        self._envs = [make_one() for _ in range(self.num_envs)]
         for e in self._envs:
             e.reset(seed=0)
+            e.set_state(e.init_qpos, e.init_qvel)
         probe = self._envs[0]
         self.obs_dim = probe.observation_space.shape[0]
         self.action_dim = probe.action_space.shape[0]
@@ -134,7 +147,14 @@ class MujocoBatchedEnv:
             obs = np.zeros((self.num_envs, self.obs_dim))
             self._lib.epl_reset(self._h, obs)
         else:
-            outs = list(self._ex.map(lambda e: e.reset(seed=0)[0], self._envs))
+            def _reset_one(e):
+                e.reset(seed=0)
+                # deterministic reset regardless of per-task reset-noise
+                # conventions — matches the native engine's mj_resetData
+                e.set_state(e.init_qpos, e.init_qvel)
+                return e._get_obs()
+
+            outs = list(self._ex.map(_reset_one, self._envs))
             obs = np.stack(outs)
         self.state = obs
         self.rews = np.zeros(self.num_envs)

@@ -21,8 +21,17 @@ def replay(csv_path: str, env_name: str, gif: str | None = None) -> float:
 
     actions = np.loadtxt(csv_path, delimiter=",", ndmin=2)
     render_mode = "rgb_array" if gif else None
-    env = gymnasium.make(env_name, reset_noise_scale=0.0, render_mode=render_mode)
+    try:
+        env = gymnasium.make(
+            env_name, reset_noise_scale=0.0, render_mode=render_mode
+        )
+    except TypeError:
+        env = gymnasium.make(env_name, render_mode=render_mode)
     env.reset(seed=1)
+    # pin the start state exactly (some tasks inject reset noise that no
+    # kwarg disables); matches the batch engine's deterministic reset
+    u = env.unwrapped
+    u.set_state(u.init_qpos, u.init_qvel)
     frames = []
     total = 0.0
     for a in actions:

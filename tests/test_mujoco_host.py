@@ -47,6 +47,57 @@ def test_native_matches_gymnasium_bitexact(cheetah_env):
     np.testing.assert_allclose(tot_e, tot_g, atol=0)
 
 
+@pytest.mark.parametrize(
+    "task",
+    [
+        "Hopper-v4",
+        "Humanoid-v4",
+        "HumanoidStandup-v4",
+        "InvertedPendulum-v4",
+        "InvertedDoublePendulum-v4",
+        "Reacher-v4",
+    ],
+)
+def test_native_task_matches_gymnasium(task):
+    """Obs and reward of every supported task match gymnasium v4 on the
+    same action sequence. (Pusher-v4 runs on the native engine but
+    gymnasium refuses it under mujoco>=3, so it has no oracle here;
+    InvertedPendulum rewards are compared only while healthy — the engine
+    gates the alive bonus where gym terminates.)"""
+    try:
+        g = gymnasium.make(task, reset_noise_scale=0.0).unwrapped
+    except TypeError:
+        g = gymnasium.make(task).unwrapped
+    g.reset(seed=0)
+    g.set_state(g.init_qpos, g.init_qvel)
+    e = MujocoBatchedEnv(task, num_envs=2, frame_skip=g.frame_skip)
+    assert e._backend == "native"
+    og = g._get_obs()
+    o0 = e.reset()
+    np.testing.assert_allclose(o0[0], og, atol=0)
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        a = rng.uniform(e.action_low, e.action_high) * 0.5
+        og, rg, term, *_ = g.step(a)
+        oe, re = e.step(np.tile(a, (2, 1)))
+        np.testing.assert_allclose(oe[0], og, atol=0)
+        if task == "InvertedPendulum-v4" and (term or abs(g.data.qpos[1]) > 0.2):
+            break
+        np.testing.assert_allclose(re[0], rg, rtol=1e-12, atol=1e-15)
+    e.close()
+
+
+def test_pusher_runs_native_only():
+    """Pusher-v4 has no gymnasium oracle under mujoco>=3 (Farama #950);
+    assert the native engine still loads and steps it sanely."""
+    e = MujocoBatchedEnv("Pusher-v4", num_envs=2, frame_skip=5)
+    assert e._backend == "native"
+    assert (e.obs_dim, e.action_dim) == (23, 7)
+    obs, rew = e.step(np.zeros((2, 7)))
+    assert np.isfinite(obs).all() and np.isfinite(rew).all()
+    e.close()
+
+
 def test_snapshot_restore_exact(cheetah_env):
     cheetah_env.reset()
     cheetah_env.step(np.full((4, 6), 0.3))

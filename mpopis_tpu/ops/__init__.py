@@ -17,6 +17,7 @@ from mpopis_tpu.ops.covariance import (
 )
 from mpopis_tpu.ops.sampling import (
     cholesky_psd,
+    multinomial_resample_counts,
     multinomial_resample_indices,
     mvnormal_samples,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "ss_shrinkage_cov",
     "weighted_mean_and_cov",
     "cholesky_psd",
+    "multinomial_resample_counts",
     "multinomial_resample_indices",
     "mvnormal_samples",
     "cross_entropy_weights",

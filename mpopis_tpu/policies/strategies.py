@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from mpopis_tpu.ops.covariance import mean_and_cov, shrinkage_cov, weighted_mean_and_cov
-from mpopis_tpu.ops.sampling import multinomial_resample_indices
+from mpopis_tpu.ops.covariance import shrinkage_cov, weighted_mean_and_cov
+from mpopis_tpu.ops.sampling import multinomial_resample_counts
 from mpopis_tpu.ops.weights import information_theoretic_weights
 
 
@@ -112,9 +112,15 @@ class PMCStrategy(Strategy):
 
     def update(self, carry, key, u_orig, it_index):
         ws = information_theoretic_weights(carry.costs, self.inner_lam)
-        idx = multinomial_resample_indices(key, ws, self.num_samples)
-        e_res = carry.E[:, idx]
-        mu, sigma = mean_and_cov(e_res, corrected=True)
+        # moments of the resampled multiset via draw counts: identical set
+        # statistics to gathering E[:, resample_indices] (same uniforms,
+        # same bucketing), but a fused compare-reduce + two MXU matmuls —
+        # searchsorted + gather/scatter dominated the PMC iteration on TPU
+        k = self.num_samples
+        counts = multinomial_resample_counts(key, ws, k)
+        mu = carry.E @ (counts / k)
+        xc = carry.E - mu[:, None]
+        sigma = (xc * counts[None, :]) @ xc.T / (k - 1)
         sigma = _jittered(sigma, self.cfg.cov_jitter)
         return (
             carry.replace(U=carry.U + mu, chol=jnp.linalg.cholesky(sigma)),

@@ -21,7 +21,7 @@ BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
 
 
 def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
-                     n_short: int = 5, n_long: int = 25, warmup: int = 3) -> float:
+                     n_short: int = 10, n_long: int = 60, warmup: int = 3) -> float:
     """Per-step time from the slope between two chained-run lengths.
 
     Each MPC step feeds the next (no pipelining of independent work), and
@@ -71,8 +71,8 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
         assert bool(np.isfinite(x_host).all())
         return dt
 
-    t_short = min(run(n_short) for _ in range(2))
-    t_long = min(run(n_long) for _ in range(2))
+    t_short = min(run(n_short) for _ in range(3))
+    t_long = min(run(n_long) for _ in range(3))
     per_step = (t_long - t_short) / (n_long - n_short)
     return 1.0 / per_step
 

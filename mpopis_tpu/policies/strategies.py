@@ -243,18 +243,34 @@ class CMAStrategy(Strategy):
         dw = elite_e @ ws[: self.m_elite]  # δw (ref :573-576)
         u_new = carry.U + sigma_s * dw
 
-        # C = Σ^{-1/2} via eigendecomposition (ref :580 uses Σ^-0.5)
+        # C = Σ^{-1/2} via eigendecomposition (ref :580 uses Σ^-0.5).
+        # The scalar rank-μ quirk (below) can leave Σ indefinite; a RELATIVE
+        # eigenvalue floor keeps C bounded where an absolute 1e-30 floor
+        # produced ~1e15 factors that overflow f32 downstream (the reference
+        # runs f64, where the same math merely degrades). The floor never
+        # binds for a well-conditioned Σ.
         evals, evecs = jnp.linalg.eigh(Sigma)
-        inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(evals, 1e-30))
+        eps = jnp.finfo(self.dtype).eps
+        floor = jnp.maximum(jnp.maximum(evals[-1], 0.0) * eps * 10.0, 1e-30)
+        inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(evals, floor))
         c_mat = (evecs * inv_sqrt[None, :]) @ evecs.T
 
         p_sigma = (1.0 - self.c_sigma) * ex["p_sigma"] + jnp.sqrt(
             self.c_sigma * (2.0 - self.c_sigma) * self.mu_eff
         ) * (c_mat @ dw)
         norm_ps = jnp.sqrt(jnp.sum(p_sigma**2))
+        # clip the step-size exponent and σ itself: unbounded in the
+        # reference (:580-582), but in f32 a degenerate Σ drives exp() to
+        # Inf and the resulting NaN covariance crashes the TPU's eigh;
+        # neither clip binds in the stable regime
         sigma_new = sigma_s * jnp.exp(
-            self.c_sigma / self.d_sigma * (norm_ps / self.e_norm - 1.0)
+            jnp.clip(
+                self.c_sigma / self.d_sigma * (norm_ps / self.e_norm - 1.0),
+                -20.0,
+                20.0,
+            )
         )
+        sigma_new = jnp.clip(sigma_new, 1e-10, 1e10)
 
         # hσ uses the 1-based iteration number (the reference's loop var n)
         it_f = it_index.astype(self.dtype)

@@ -139,3 +139,42 @@ def test_control_cost_zero_when_alpha_one():
     c1 = np.asarray(i1["costs"])
     c2 = np.asarray(i2["costs"])
     assert not np.allclose(c1, c2)
+
+
+def test_cma_update_survives_degenerate_sigma_f32():
+    """Regression: the reference's scalar rank-μ quirk can leave Σ
+    indefinite; in f32 the unguarded Σ^{-1/2} / step-size chain overflowed
+    to NaN (and a NaN covariance crashes TPU eigh). The relative eigenvalue
+    floor and the step-size clips must keep every output finite."""
+    import jax
+
+    from mpopis_tpu.policies.strategies import AISCarry, make_strategy
+
+    cs, k = 6, 32
+    cfg = PolicyConfig(kind="cmamppi", num_samples=k, horizon=3, lam=10.0,
+                       opt_its=10)
+    strat = make_strategy(cfg, cs, jnp.float32)
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(rng.normal(size=(cs, k)), dtype=jnp.float32)
+    # indefinite Σ (quirk-shaped: PSD part plus a large constant matrix)
+    sigma_bad = jnp.asarray(
+        0.01 * np.eye(cs) - 5.0 * np.ones((cs, cs)), dtype=jnp.float32
+    )
+    carry = AISCarry(
+        U=jnp.zeros((cs,), jnp.float32),
+        chol=jnp.eye(cs, dtype=jnp.float32),
+        E=e,
+        costs=jnp.asarray(rng.normal(size=k) * 1e8, dtype=jnp.float32),
+        trajs=None,
+        done=jnp.asarray(False),
+        key=jax.random.key(0),
+        extra=dict(
+            Sigma=sigma_bad,
+            sigma=jnp.asarray(1e-6, jnp.float32),
+            p_sigma=jnp.full((cs,), 1e3, jnp.float32),
+            p_Sigma=jnp.zeros((cs,), jnp.float32),
+        ),
+    )
+    new, _ = strat.update(carry, jax.random.key(1), carry.U, jnp.asarray(1))
+    for leaf in jax.tree.leaves((new.U, new.chol, new.extra)):
+        assert np.isfinite(np.asarray(leaf)).all()

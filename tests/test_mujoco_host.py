@@ -168,3 +168,24 @@ def test_python_fallback_backend():
     obs2, _ = env.step(np.zeros((2, 6)))
     assert np.isfinite(obs2).all()
     env.close()
+
+
+def test_harness_inverted_double_pendulum():
+    """simulate_mujoco end-to-end on a non-locomotion task."""
+    from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
+
+    metrics = simulate_mujoco(
+        "InvertedDoublePendulum-v4",
+        num_trials=1,
+        num_steps=10,
+        policy_type="cemppi",
+        num_samples=12,
+        horizon=8,
+        ais_its=2,
+        lam=1.0,
+        seed=3,
+        print_output=False,
+    )
+    # alive bonus is 10/step minus small penalties: a sane controller stays
+    # near 10 reward/step over 10 steps
+    assert metrics["rewards"][0] > 60.0

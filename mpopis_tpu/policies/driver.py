@@ -34,17 +34,30 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
-def _shard_map_fused(env, sample_sharding, layout: str):
+def _shard_map_fused(env, sample_sharding, layout: str, k_samples: int):
     """shard_map wrapper running the env's fused Pallas rollout on each
     device's local K-shard (a pallas_call cannot be auto-partitioned by
     GSPMD, so manual sharding keeps the fast kernel on the multi-chip
     path). `layout` is "kta" for (K,T,as) controls or "tak" for (T,as,K).
     The initial env state is replicated; costs come back sharded over K.
+    Returns None when K does not divide over the mesh (caller falls back
+    to the GSPMD vmap path).
     """
     import jax.sharding as shd
 
     mesh = sample_sharding.mesh
     axis = sample_sharding.spec[0]
+    n_shards = mesh.shape[axis]
+    if k_samples % n_shards != 0:
+        import warnings
+
+        warnings.warn(
+            f"num_samples={k_samples} not divisible by the {n_shards}-device "
+            f"sample mesh; the fused rollout kernel needs even shards — "
+            f"falling back to the GSPMD vmap rollout",
+            stacklevel=3,
+        )
+        return None
     if layout == "kta":
         ctrl_spec = shd.PartitionSpec(axis, None, None)
 
@@ -76,12 +89,15 @@ def _make_base_rollout(env, cfg, sample_sharding):
         and not cfg.log
         and getattr(env, "supports_fused_rollout", False)
     )
-    if use_fused and sample_sharding is not None:
-        fused = _shard_map_fused(env, sample_sharding, "kta")
-
+    fused_kta = (
+        _shard_map_fused(env, sample_sharding, "kta", cfg.num_samples)
+        if use_fused and sample_sharding is not None
+        else None
+    )
+    if fused_kta is not None:
         def rollout_fn(env_state, controls):
-            return fused(env_state.x, controls), None
-    elif use_fused:
+            return fused_kta(env_state.x, controls), None
+    elif use_fused and sample_sharding is None:
         def rollout_fn(env_state, controls):
             return env.fused_rollout_costs(env_state, controls), None
     else:
@@ -222,10 +238,12 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
         and getattr(env, "supports_fused_rollout", False)
     )
     fused_sharded = (
-        _shard_map_fused(env, sample_sharding, "tak")
+        _shard_map_fused(env, sample_sharding, "tak", cfg.num_samples)
         if use_fused and sample_sharding is not None
         else None
     )
+    if sample_sharding is not None and fused_sharded is None:
+        use_fused = False  # uneven shards: GSPMD vmap fallback
     base_rollout = _make_base_rollout(env, cfg, sample_sharding)
 
     def compute_costs(env_state, u_cur, e, chol, u_orig):

@@ -148,6 +148,41 @@ def test_sharded_fused_kernel_matches_unsharded():
     np.testing.assert_allclose(np.asarray(a_v), np.asarray(a_s), rtol=1e-3, atol=1e-4)
 
 
+def test_sharded_fused_mppi_and_uneven_fallback():
+    """The classic-MPPI (K,T,as) fused layout also rides shard_map; a K
+    that doesn't divide over the mesh falls back to the GSPMD vmap path
+    with a warning instead of failing at trace time."""
+    import warnings
+
+    mesh = _mesh()
+    env = CarRacingEnv(dtype=jnp.float32, fused_interpret=True)
+    cfg = PolicyConfig(kind="mppi", num_samples=32, horizon=5, lam=10.0)
+    cov = np.diag([0.0625, 0.1])
+    p_fused = make_policy(env, cfg, cov_mat=cov)
+    p_shard = make_policy(
+        env, cfg, cov_mat=cov, sample_sharding=sample_sharding(mesh, ndim=3)
+    )
+    s = env.reset()
+    a_f, _, i_f = p_fused.step(s, p_fused.init_state(3))
+    a_s, _, i_s = p_shard.step(s, p_shard.init_state(3))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_f), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(i_s["costs"]), np.asarray(i_f["costs"]), rtol=1e-5
+    )
+
+    cfg_odd = PolicyConfig(kind="cemppi", num_samples=30, horizon=5,
+                           lam=10.0, opt_its=2, sigma_est="ss")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p_odd = make_policy(
+            env, cfg_odd, cov_mat=cov,
+            sample_sharding=sample_sharding(mesh, ndim=3),
+        )
+        assert any("not divisible" in str(x.message) for x in w)
+    a_o, _, _ = p_odd.step(s, p_odd.init_state(3))
+    assert np.isfinite(np.asarray(a_o)).all()
+
+
 def test_sharded_full_training_step_runs():
     """A full MPC step (policy + env step) jitted over the mesh executes."""
     mesh = _mesh()

@@ -96,6 +96,23 @@ def _default_seed() -> int:
     return int(np.random.randint(1, 10**10))
 
 
+def _resolve_chunk(steps_per_call, needs_host_every_step: bool) -> int:
+    """Control steps per compiled device call. Gif rendering, trajectory
+    plots, state-noise injection, and policy logging only exist in the
+    per-step path, so they force 1 — even over an explicit request."""
+    if needs_host_every_step:
+        if steps_per_call is not None and steps_per_call > 1:
+            import warnings
+
+            warnings.warn(
+                f"steps_per_call={steps_per_call} ignored: gif/plot/noise/"
+                "logging need the host every control step; using 1",
+                stacklevel=3,
+            )
+        return 1
+    return 10 if steps_per_call is None else max(int(steps_per_call), 1)
+
+
 # ---------------------------------------------------------------------------
 # MountainCar / CartPole
 # ---------------------------------------------------------------------------
@@ -129,9 +146,7 @@ def _simulate_simple(
 ):
     if seed is None:
         seed = _default_seed()
-    chunk = steps_per_call
-    if chunk is None:
-        chunk = 1 if save_gif else 10
+    chunk = _resolve_chunk(steps_per_call, needs_host_every_step=save_gif)
     _banner(
         print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
         horizon, lam, alpha, ais_its, lambda_ais, ce_elite_threshold,
@@ -319,9 +334,10 @@ def simulate_car_racing(
     has_noise = sim_type == "cr" and bool(
         state_x_sigma or state_y_sigma or state_psi_sigma
     )
-    chunk = steps_per_call
-    if chunk is None:
-        chunk = 1 if (save_gif or plot_traj or has_noise or pol_log) else 10
+    chunk = _resolve_chunk(
+        steps_per_call,
+        needs_host_every_step=save_gif or plot_traj or has_noise or pol_log,
+    )
 
     def _stats_vec(s, rew):
         """Per-step bookkeeping packed into ONE device vector so the host

@@ -73,6 +73,11 @@ class PolicyConfig:
     cma_rank_mu_quirk: bool = True  # scalar rank-μ term, policies:588-598
     elite_stop_tol: float = 1e-2  # reference literal 10e-3
     cov_jitter: float = 1e-8  # reference literal 10e-9
+    # f32 stability guards for CMA's Σ^{-1/2}/step-size chain (relative
+    # eigenvalue floor, clipped step-size exponent and σ). The guards never
+    # bind in the stable regime; set False for raw reference semantics
+    # (safe in f64, can overflow to NaN in f32 with cma_rank_mu_quirk).
+    cma_stability_guards: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "kind", canonical_kind(self.kind))

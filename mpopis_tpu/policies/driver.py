@@ -79,13 +79,15 @@ def _shard_map_fused(env, sample_sharding, layout: str, k_samples: int):
     )
 
 
-def _make_base_rollout(env, cfg, sample_sharding):
+def _make_base_rollout(env, cfg, sample_sharding, force_generic: bool = False):
     """Trajectory-cost evaluator: fused Pallas kernel when the env provides
     one and nothing requires the generic path (trajectory logging needs
     per-step states). Under explicit sample sharding the kernel runs
-    per-shard inside shard_map."""
+    per-shard inside shard_map. `force_generic` skips the fused paths when
+    the caller already handles (or has ruled out) the kernel itself."""
     use_fused = (
-        cfg.use_fused_rollout
+        not force_generic
+        and cfg.use_fused_rollout
         and not cfg.log
         and getattr(env, "supports_fused_rollout", False)
     )
@@ -237,6 +239,7 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
         and not cfg.log
         and getattr(env, "supports_fused_rollout", False)
     )
+    fused_handled = use_fused  # this builder owns the fused path entirely
     fused_sharded = (
         _shard_map_fused(env, sample_sharding, "tak", cfg.num_samples)
         if use_fused and sample_sharding is not None
@@ -244,7 +247,9 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
     )
     if sample_sharding is not None and fused_sharded is None:
         use_fused = False  # uneven shards: GSPMD vmap fallback
-    base_rollout = _make_base_rollout(env, cfg, sample_sharding)
+    base_rollout = _make_base_rollout(
+        env, cfg, sample_sharding, force_generic=fused_handled
+    )
 
     def compute_costs(env_state, u_cur, e, chol, u_orig):
         v = u_cur[:, None] + e  # (cs, K), unclamped candidates

@@ -250,8 +250,11 @@ class CMAStrategy(Strategy):
         # runs f64, where the same math merely degrades). The floor never
         # binds for a well-conditioned Σ.
         evals, evecs = jnp.linalg.eigh(Sigma)
-        eps = jnp.finfo(self.dtype).eps
-        floor = jnp.maximum(jnp.maximum(evals[-1], 0.0) * eps * 10.0, 1e-30)
+        if cfg.cma_stability_guards:
+            eps = jnp.finfo(self.dtype).eps
+            floor = jnp.maximum(jnp.maximum(evals[-1], 0.0) * eps * 10.0, 1e-30)
+        else:
+            floor = 1e-30
         inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(evals, floor))
         c_mat = (evecs * inv_sqrt[None, :]) @ evecs.T
 
@@ -259,18 +262,17 @@ class CMAStrategy(Strategy):
             self.c_sigma * (2.0 - self.c_sigma) * self.mu_eff
         ) * (c_mat @ dw)
         norm_ps = jnp.sqrt(jnp.sum(p_sigma**2))
-        # clip the step-size exponent and σ itself: unbounded in the
-        # reference (:580-582), but in f32 a degenerate Σ drives exp() to
-        # Inf and the resulting NaN covariance crashes the TPU's eigh;
-        # neither clip binds in the stable regime
-        sigma_new = sigma_s * jnp.exp(
-            jnp.clip(
-                self.c_sigma / self.d_sigma * (norm_ps / self.e_norm - 1.0),
-                -20.0,
-                20.0,
-            )
-        )
-        sigma_new = jnp.clip(sigma_new, 1e-10, 1e10)
+        # the step-size exponent and σ are unbounded in the reference
+        # (:580-582); in f32 a degenerate Σ drives exp() to Inf and the
+        # resulting NaN covariance crashes the TPU's eigh. The guards never
+        # bind in the stable regime; cfg.cma_stability_guards=False restores
+        # raw reference semantics.
+        step_exp = self.c_sigma / self.d_sigma * (norm_ps / self.e_norm - 1.0)
+        if cfg.cma_stability_guards:
+            step_exp = jnp.clip(step_exp, -20.0, 20.0)
+        sigma_new = sigma_s * jnp.exp(step_exp)
+        if cfg.cma_stability_guards:
+            sigma_new = jnp.clip(sigma_new, 1e-10, 1e10)
 
         # hσ uses the 1-based iteration number (the reference's loop var n)
         it_f = it_index.astype(self.dtype)

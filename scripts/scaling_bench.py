@@ -3,10 +3,11 @@
 On real multi-chip hardware this measures control-steps/s vs device count
 with the K rollouts sharded over the mesh (the BASELINE scaling-efficiency
 metric). On a single-chip/CPU machine, run with
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python scripts/scaling_bench.py
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scaling_bench.py --cpu
 to exercise the sharded program end-to-end (CPU numbers validate the
-machinery and partitioning, not ICI bandwidth).
+machinery and partitioning, not ICI bandwidth). --cpu is needed because
+this environment's site hook overrides the JAX_PLATFORMS env var.
 """
 
 from __future__ import annotations
@@ -18,7 +19,12 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from mpopis_tpu.models import CarRacingEnv

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     mj.add_argument("--output-acts-file", action="store_true")
     mj.add_argument("--log-runs", action="store_true")
     mj.add_argument("--no-native", action="store_true", help="use the Python fallback engine")
+    mj.add_argument(
+        "--on-device", action="store_true",
+        help="run the dynamics on the TPU (pure-JAX closed forms; "
+        "contact-free tasks only, e.g. Reacher-v4)",
+    )
 
     return ap
 
@@ -135,6 +140,13 @@ def main(argv=None) -> int:
             save_gif=args.save_gif, steps_per_call=args.steps_per_call, **common
         )
     elif args.cmd == "mujoco":
+        if args.on_device:
+            simulate.simulate_mujoco_on_device(
+                args.env_name,
+                steps_per_call=args.steps_per_call,
+                **common,
+            )
+            return 0
         from mpopis_tpu.harness.simulate_mujoco import simulate_mujoco
 
         common.pop("dtype")

@@ -162,6 +162,10 @@ def _simulate_simple(
 
     frames = [] if save_gif else None
 
+    # envs whose reward is a function of (pre-step state, action) provide
+    # step_reward (e.g. the on-device Reacher) — keeps totals gym-exact
+    use_step_reward = hasattr(env, "step_reward")
+
     @jax.jit
     def fused_chunk(s, ps):
         """`chunk` control steps in one device program; emits per-step
@@ -169,8 +173,11 @@ def _simulate_simple(
         def body(carry, _):
             s, ps = carry
             act, ps2, _ = pol.step(s, ps)
-            s2 = env.step(s, act)
-            r = env.reward(s2)
+            if use_step_reward:
+                s2, r = env.step_reward(s, act)
+            else:
+                s2 = env.step(s, act)
+                r = env.reward(s2)
             row = jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)])
             return (s2, ps2), row
         (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
@@ -195,9 +202,13 @@ def _simulate_simple(
                     done = bool(d_step)
                 continue
             act, ps, _ = pol.step(s, ps)
-            s = env.step(s, act)
+            if use_step_reward:
+                s, r_step = env.step_reward(s, act)
+                rew += float(r_step)
+            else:
+                s = env.step(s, act)
+                rew += float(env.reward(s))
             cnt += 1
-            rew += float(env.reward(s))
             done = bool(s.done)
             if frames is not None:
                 from mpopis_tpu.harness import plotting
@@ -254,6 +265,31 @@ def simulate_cartpole(**kwargs):
     dtype = kwargs.pop("dtype", jnp.float32)
     env = CartPoleEnv(dtype=dtype)
     return _simulate_simple(env, "CartPole", **kwargs)
+
+
+ON_DEVICE_MUJOCO_TASKS = ("Reacher-v4",)
+
+
+def simulate_mujoco_on_device(task: str, **kwargs):
+    """MuJoCo task with ON-DEVICE dynamics (no host engine): the K×T
+    rollout fan-out runs on the TPU like the car models. Available for the
+    contact-free tasks with closed-form dynamics (models/reacher_device.py;
+    trajectories match mj_step to solver tolerance)."""
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import ReacherDeviceEnv
+
+    registry = {"Reacher-v4": ReacherDeviceEnv}
+    if task not in registry:
+        raise ValueError(
+            f"no on-device dynamics for {task!r}; options {ON_DEVICE_MUJOCO_TASKS} "
+            "(the host engine supports all 11 tasks: python -m mpopis_tpu mujoco)"
+        )
+    dtype = kwargs.pop("dtype", jnp.float32)
+    env = registry[task](dtype=dtype)
+    kwargs.setdefault("u0", (0.0,) * env.action_dim)
+    kwargs.setdefault("cov_mat", (0.25,) * env.action_dim)
+    return _simulate_simple(env, f"{task} (on-device)", **kwargs)
 
 
 # ---------------------------------------------------------------------------

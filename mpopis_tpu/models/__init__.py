@@ -3,6 +3,7 @@ from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, st
 from mpopis_tpu.models.cartpole import CartPoleEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
+from mpopis_tpu.models.reacher_device import ReacherDeviceEnv
 from mpopis_tpu.models.rollout import rollout_batch, rollout_one
 from mpopis_tpu.models.track import Track, distance_query, track_path
 
@@ -17,6 +18,7 @@ __all__ = [
     "CartPoleEnv",
     "MountainCarEnv",
     "MultiCarRacingEnv",
+    "ReacherDeviceEnv",
     "rollout_batch",
     "rollout_one",
     "Track",

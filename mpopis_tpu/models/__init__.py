@@ -4,6 +4,7 @@ from mpopis_tpu.models.cartpole import CartPoleEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
 from mpopis_tpu.models.reacher_device import ReacherDeviceEnv
+from mpopis_tpu.models.swimmer_device import SwimmerDeviceEnv
 from mpopis_tpu.models.rollout import rollout_batch, rollout_one
 from mpopis_tpu.models.track import Track, distance_query, track_path
 
@@ -19,6 +20,7 @@ __all__ = [
     "MountainCarEnv",
     "MultiCarRacingEnv",
     "ReacherDeviceEnv",
+    "SwimmerDeviceEnv",
     "rollout_batch",
     "rollout_one",
     "Track",

@@ -53,6 +53,7 @@ _D0, _DMAX, _WIDTH, _MID, _POWER = 0.9, 0.95, 0.001, 0.5, 2.0
 _KC = 1.0 / (_DMAX * 0.02) ** 2  # constraint stiffness
 _BC = 2.0 / (_DMAX * 0.02)  # constraint damping
 _L1, _L2 = 0.1, 0.11  # link0 length, joint1->fingertip
+_INVWEIGHT1 = 0.9998211549602818  # mjModel.dof_invweight0[1] (constraint R)
 _Z = 0.0  # fingertip and target share z=0.01 -> vec z component is 0
 
 
@@ -87,9 +88,10 @@ def _qacc(q1, q2, v1, v2, tau1, tau2):
     imp = _impedance(pos)
     aref = -_BC * (s * v2) - _KC * imp * pos
     a_mat = m00 / det  # J M^-1 J^T for J = ±e2 (true inverse)
-    # MuJoCo regularizes with the DIAGONAL approximation 1/M_jj, not the
-    # true J M^-1 J^T (efc_R probes: R·imp/(1-imp) == 1/M11 exactly)
-    r_reg = (1.0 - imp) / (imp * m11)
+    # MuJoCo regularizes with the MODEL CONSTANT dof_invweight0 (the
+    # reference-pose inverse-mass diagonal), not the state-dependent
+    # J M^-1 J^T (confirmed against efc_R on both reacher and swimmer)
+    r_reg = (1.0 - imp) / imp * _INVWEIGHT1
     lam = jnp.maximum(0.0, (aref - s * a2) / (a_mat + r_reg))
     lam = jnp.where(pos < 0.0, lam, 0.0)
     a1 = a1 + (-m01 / det) * (s * lam)

@@ -107,9 +107,10 @@ def test_policy_reaches_target():
     pol = make_policy(env, cfg, cov_mat=[0.02, 0.02])
     s, ps = env.reset(), pol.init_state(2)
     d0 = -float(env.reward(s))
+    env_step = jax.jit(env.step)
     for _ in range(30):
         a, ps, _ = pol.step(s, ps)
-        s = env.step(s, a)
+        s = env_step(s, a)
     d1 = -float(env.reward(s))
     assert d1 < 0.5 * d0, (d0, d1)
     assert d1 < 0.03

@@ -267,7 +267,12 @@ def simulate_cartpole(**kwargs):
     return _simulate_simple(env, "CartPole", **kwargs)
 
 
-ON_DEVICE_MUJOCO_TASKS = ("Reacher-v4", "Swimmer-v4")
+ON_DEVICE_MUJOCO_TASKS = (
+    "Reacher-v4",
+    "Swimmer-v4",
+    "InvertedPendulum-v4",
+    "InvertedDoublePendulum-v4",
+)
 
 
 def simulate_mujoco_on_device(task: str, **kwargs):
@@ -277,9 +282,19 @@ def simulate_mujoco_on_device(task: str, **kwargs):
     trajectories match mj_step to solver tolerance)."""
     import jax.numpy as jnp
 
-    from mpopis_tpu.models import ReacherDeviceEnv, SwimmerDeviceEnv
+    from mpopis_tpu.models import (
+        InvertedDoublePendulumDeviceEnv,
+        InvertedPendulumDeviceEnv,
+        ReacherDeviceEnv,
+        SwimmerDeviceEnv,
+    )
 
-    registry = {"Reacher-v4": ReacherDeviceEnv, "Swimmer-v4": SwimmerDeviceEnv}
+    registry = {
+        "Reacher-v4": ReacherDeviceEnv,
+        "Swimmer-v4": SwimmerDeviceEnv,
+        "InvertedPendulum-v4": InvertedPendulumDeviceEnv,
+        "InvertedDoublePendulum-v4": InvertedDoublePendulumDeviceEnv,
+    }
     if task not in registry:
         raise ValueError(
             f"no on-device dynamics for {task!r}; options {ON_DEVICE_MUJOCO_TASKS} "

@@ -3,6 +3,10 @@ from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, st
 from mpopis_tpu.models.cartpole import CartPoleEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
+from mpopis_tpu.models.pendulum_device import (
+    InvertedDoublePendulumDeviceEnv,
+    InvertedPendulumDeviceEnv,
+)
 from mpopis_tpu.models.reacher_device import ReacherDeviceEnv
 from mpopis_tpu.models.swimmer_device import SwimmerDeviceEnv
 from mpopis_tpu.models.rollout import rollout_batch, rollout_one
@@ -19,6 +23,8 @@ __all__ = [
     "CartPoleEnv",
     "MountainCarEnv",
     "MultiCarRacingEnv",
+    "InvertedDoublePendulumDeviceEnv",
+    "InvertedPendulumDeviceEnv",
     "ReacherDeviceEnv",
     "SwimmerDeviceEnv",
     "rollout_batch",

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpopis_tpu.models.base import Env, EnvState, make_state
+from mpopis_tpu.models.planar import LimitSpec, build_planar_dynamics, rk4_step
 
 # --- constants from swimmer.xml via mjModel (f64) --------------------------
 _MASS = 35.604716740684324  # per link (capsule r=0.1, l=1.0, density 1000)
@@ -67,10 +68,6 @@ _C_VISC_T = np.pi * _VISC * _D_EQ**3
 _C_PAR = 0.5 * _RHO * _S_SHORT * _S_SHORT  # motion along the link axis
 _C_PERP = 0.5 * _RHO * _S_SHORT * _S_LONG  # in-plane perpendicular motion
 _C_ROT = _RHO / 64.0 * _S_SHORT * (_S_SHORT**4 + _S_LONG**4)
-# constraint model constants (defaults, same as reacher)
-_D0, _DMAX, _WIDTH, _MID = 0.9, 0.95, 0.001, 0.5
-_KC = 1.0 / (_DMAX * 0.02) ** 2
-_BC = 2.0 / (_DMAX * 0.02)
 # mjModel.dof_invweight0[3:5]: constraint regularizer weights (R)
 _INVWEIGHT = (0.38529334162134676, 0.3933336741383495)
 
@@ -81,7 +78,7 @@ def _kin(q):
 
     Geometry from swimmer.xml: torso origin at the slides, its capsule com
     at +1.0 along the link axis (fromto 1.5..0.5, ipos (1,0)); mid body at
-    +0.5 on the torso with its com at −0.5; back at −1.0 on mid, com −0.5.
+    +0.5 on the torso with its com at \u22120.5; back at \u22121.0 on mid, com \u22120.5.
     """
     x, y, t1, a2, a3 = q
     th1 = t1
@@ -108,48 +105,9 @@ def _kin(q):
 _W_OUT = (_MASS,) * 6 + (_I_MAX,) * 3  # kinetic-energy weights per output
 
 
-def _kinetic(q, qv):
-    vel = jax.jvp(_kin, (q,), (qv,))[1]
-    t = 0.5 * _ARMATURE * sum(v * v for v in qv)
-    for w, v in zip(_W_OUT, vel):
-        t = t + 0.5 * w * v * v
-    return t
-
-
-def _mass_entries(q):
-    """M(q) as a lower-triangle list-of-lists of scalars."""
-    jac = jax.jacfwd(_kin)(q)  # tuple(9 outputs) of tuple(5 inputs)
-    m = [[None] * (i + 1) for i in range(5)]
-    for i in range(5):
-        for j in range(i + 1):
-            s = _ARMATURE if i == j else 0.0
-            for out in range(9):
-                s = s + _W_OUT[out] * jac[out][i] * jac[out][j]
-            m[i][j] = s
-    return m
-
-
-def _bias(q, qv):
-    """Coriolis/centrifugal: (∂(M q̇)/∂q)q̇ − ∂T/∂q (gravity-free plane).
-
-    The first term is a directional derivative along q̇ (single JVP)."""
-    def mom(q_):
-        m = _mass_entries(q_)
-        return tuple(
-            sum(
-                (m[i][j] if i >= j else m[j][i]) * qv[j] for j in range(5)
-            )
-            for i in range(5)
-        )
-
-    dir_term = jax.jvp(mom, (q,), (qv,))[1]
-    grad_q = jax.grad(_kinetic, argnums=0)(q, qv)
-    return tuple(d - g for d, g in zip(dir_term, grad_q))
-
-
 def _fluid_qfrc(q, qv):
     """Generalized fluid forces: per-link drag/viscous wrench pulled back
-    through the kinematics VJP (exactly Σ JᵀF without forming J)."""
+    through the kinematics VJP (exactly \u03a3 J\u1d40F without forming J)."""
     out, kin_vjp = jax.vjp(_kin, q)
     vel = jax.jvp(_kin, (q,), (qv,))[1]
     th = out[6:9]
@@ -167,126 +125,42 @@ def _fluid_qfrc(q, qv):
     return kin_vjp(tuple(cot))[0]
 
 
-def _chol5(m):
-    """Unrolled scalar Cholesky of the lower-triangle scalar matrix from
-    _mass_entries. Batched tiny-matrix jnp.linalg.cholesky lowers to
-    dynamic-slice loops on TPU; this stays dense elementwise VPU work."""
-    l = [[None] * 5 for _ in range(5)]
-    for i in range(5):
-        for j in range(i + 1):
-            s = m[i][j]
-            for k in range(j):
-                s = s - l[i][k] * l[j][k]
-            if i == j:
-                l[i][j] = jnp.sqrt(s)
-            else:
-                l[i][j] = s / l[j][j]
-    return l
-
-
-def _chol_solve5(l, b):
-    """Solve L Lᵀ x = b (b: 5 scalars) with the unrolled factor."""
-    y = []
-    for i in range(5):
-        s = b[i]
-        for k in range(i):
-            s = s - l[i][k] * y[k]
-        y.append(s / l[i][i])
-    x = [None] * 5
-    for i in reversed(range(5)):
-        s = y[i]
-        for k in range(i + 1, 5):
-            s = s - l[k][i] * x[k]
-        x[i] = s / l[i][i]
-    return x
-
-
-def _impedance(pos):
-    x = jnp.clip(jnp.abs(pos) / _WIDTH, 0.0, 1.0)
-    y = jnp.where(x < _MID, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) ** 2)
-    return _D0 + (_DMAX - _D0) * y
-
-
-def _limit_lambdas(q, qv, c3, c4, a_smooth):
-    """Soft-limit λ for the two motor joints (dofs 3, 4): the projected
-    2-constraint solve, enumerating the active set (KKT of the convex QP:
-    λ ≥ 0, slack ≥ 0 on inactive components). c3/c4 are M⁻¹'s columns for
-    unit loads on dofs 3/4. Returns (s3·λ3, s4·λ4)."""
-    arefs, signs, active, rs = [], [], [], []
-    for k, dof in enumerate((3, 4)):
-        qk = q[dof]
-        d_lo = qk + _LIMIT
-        d_hi = _LIMIT - qk
-        lower_closer = d_lo < d_hi
-        pos = jnp.where(lower_closer, d_lo, d_hi)
-        s = jnp.where(lower_closer, 1.0, -1.0)
-        imp = _impedance(pos)
-        arefs.append(-_BC * (s * qv[dof]) - _KC * imp * pos)
-        signs.append(s)
-        active.append(pos < 0.0)
-        rs.append((1.0 - imp) / imp * _INVWEIGHT[k])
-    s3, s4 = signs
-    a00, a11 = c3[3], c4[4]
-    a01 = s3 * s4 * c4[3]
-    a10 = s3 * s4 * c3[4]
-    rhs0 = jnp.where(active[0], arefs[0] - s3 * a_smooth[3], 0.0)
-    rhs1 = jnp.where(active[1], arefs[1] - s4 * a_smooth[4], 0.0)
-    r00, r11 = a00 + rs[0], a11 + rs[1]
-    # candidate: both active (2x2 solve)
-    det = r00 * r11 - a01 * a10
-    lb0 = (r11 * rhs0 - a01 * rhs1) / det
-    lb1 = (-a10 * rhs0 + r00 * rhs1) / det
-    # candidates: single active
-    l0 = rhs0 / r00
-    l1 = rhs1 / r11
-    ok_both = active[0] & active[1] & (lb0 >= 0.0) & (lb1 >= 0.0)
-    ok_0 = active[0] & (l0 > 0.0) & ((~active[1]) | (a10 * l0 - rhs1 >= 0.0))
-    ok_1 = active[1] & (l1 > 0.0) & ((~active[0]) | (a01 * l1 - rhs0 >= 0.0))
-    lam0 = jnp.where(ok_both, lb0, jnp.where(ok_0, l0, 0.0))
-    lam1 = jnp.where(ok_both, lb1, jnp.where(ok_1, l1, 0.0))
-    lam0 = jnp.maximum(lam0, 0.0)
-    lam1 = jnp.maximum(lam1, 0.0)
-    return s3 * lam0, s4 * lam1
+_BASE_QACC, _mass_entries, _ = build_planar_dynamics(
+    _kin,
+    kin_weights=_W_OUT,
+    pot_coeffs=(0.0,) * 9,  # horizontal plane: no gravity torque
+    n_dof=5,
+    damping=(0.0,) * 5,
+    armature=(_ARMATURE,) * 5,
+    limits=(
+        LimitSpec(dof=3, lo=-_LIMIT, hi=_LIMIT, invweight=_INVWEIGHT[0]),
+        LimitSpec(dof=4, lo=-_LIMIT, hi=_LIMIT, invweight=_INVWEIGHT[1]),
+    ),
+)
 
 
 def _qacc(q, qv, tau3, tau4):
-    """Constrained forward dynamics over 5-tuples; exactly mj_forward."""
-    m = _mass_entries(q)
-    l = _chol5(m)
-    fluid = _fluid_qfrc(q, qv)
-    bias = _bias(q, qv)
-    rhs = [fluid[i] - bias[i] for i in range(5)]
-    rhs[3] = rhs[3] + tau3
-    rhs[4] = rhs[4] + tau4
-    a_smooth = _chol_solve5(l, rhs)
+    """Constrained forward dynamics over 5-tuples; exactly mj_forward.
+    The fluid wrench is state-dependent, so it folds into the applied
+    force per RK stage."""
+    fl = _fluid_qfrc(q, qv)
     zero = jnp.zeros_like(q[0])
-    one = jnp.ones_like(q[0])
-    c3 = _chol_solve5(l, [zero, zero, zero, one, zero])
-    c4 = _chol_solve5(l, [zero, zero, zero, zero, one])
-    f3, f4 = _limit_lambdas(q, qv, c3, c4, a_smooth)
-    return tuple(a_smooth[i] + c3[i] * f3 + c4[i] * f4 for i in range(5))
+    tau = (fl[0], fl[1], fl[2], fl[3] + tau3, fl[4] + tau4)
+    acc, _ = _BASE_QACC(q, qv, tau)
+    return acc
 
 
 def _rk4(q, qv, tau3, tau4):
     """One mj_RungeKutta step at h=_H over (5-tuple, 5-tuple) state."""
-    def f(qq, vv):
-        return vv, _qacc(qq, vv, tau3, tau4)
 
-    def add(a, b, h):
-        return tuple(x + h * y for x, y in zip(a, b))
+    def qacc_tau(qq, vv, tau):
+        fl = _fluid_qfrc(qq, vv)
+        tt = tuple(t + f for t, f in zip(tau, fl))
+        return _BASE_QACC(qq, vv, tt)
 
-    k1q, k1v = f(q, qv)
-    k2q, k2v = f(add(q, k1q, 0.5 * _H), add(qv, k1v, 0.5 * _H))
-    k3q, k3v = f(add(q, k2q, 0.5 * _H), add(qv, k2v, 0.5 * _H))
-    k4q, k4v = f(add(q, k3q, _H), add(qv, k3v, _H))
-    qn = tuple(
-        a + (_H / 6.0) * (b + 2.0 * c + 2.0 * d + e)
-        for a, b, c, d, e in zip(q, k1q, k2q, k3q, k4q)
-    )
-    vn = tuple(
-        a + (_H / 6.0) * (b + 2.0 * c + 2.0 * d + e)
-        for a, b, c, d, e in zip(qv, k1v, k2v, k3v, k4v)
-    )
+    zero = jnp.zeros_like(q[0])
+    tau = (zero, zero, zero, tau3, tau4)
+    qn, vn, _, _ = rk4_step(qacc_tau, q, qv, tau, _H)
     return qn, vn
 
 

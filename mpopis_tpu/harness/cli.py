@@ -35,7 +35,8 @@ def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float,
     p.add_argument(
         "--steps-per-call", type=int, default=None,
         help="control steps per compiled device call (default: 10, or 1 when "
-        "gif/plot/noise/logging needs the host every step; ignored for mujoco)",
+        "gif/plot/noise/logging needs the host every step; host-engine mujoco "
+        "ignores it, on-device mujoco honors it)",
     )
 
 
@@ -71,7 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     mj = sub.add_parser("mujoco", help="host-batched MuJoCo (envpool-lite engine)")
     _common(mj, 100, 50, 1.0)
     mj.add_argument("--env-name", default="HalfCheetah-v4")
-    mj.add_argument("--frame-skip", type=int, default=5)
+    mj.add_argument("--frame-skip", type=int, default=None,
+                    help="host engine only (default: 5); on-device tasks use their gym value")
     mj.add_argument("--output-acts-file", action="store_true")
     mj.add_argument("--log-runs", action="store_true")
     mj.add_argument("--no-native", action="store_true", help="use the Python fallback engine")
@@ -141,6 +143,18 @@ def main(argv=None) -> int:
         )
     elif args.cmd == "mujoco":
         if args.on_device:
+            import warnings
+
+            for flag, name in ((args.frame_skip is not None, "--frame-skip"),
+                               (args.output_acts_file, "--output-acts-file"),
+                               (args.no_native, "--no-native")):
+                if flag:
+                    warnings.warn(
+                        f"{name} applies to the host engine only and is "
+                        "ignored with --on-device (on-device tasks use their "
+                        "gym frame_skip)",
+                        stacklevel=1,
+                    )
             simulate.simulate_mujoco_on_device(
                 args.env_name,
                 steps_per_call=args.steps_per_call,
@@ -152,7 +166,7 @@ def main(argv=None) -> int:
         common.pop("dtype")
         simulate_mujoco(
             args.env_name,
-            frame_skip=args.frame_skip,
+            frame_skip=args.frame_skip if args.frame_skip is not None else 5,
             output_acts_file=args.output_acts_file,
             log_runs=args.log_runs,
             native=not args.no_native,

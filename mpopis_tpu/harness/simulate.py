@@ -146,6 +146,14 @@ def _simulate_simple(
 ):
     if seed is None:
         seed = _default_seed()
+    if save_gif and sim_type not in ("MountainCar", "CartPole"):
+        import warnings
+
+        warnings.warn(
+            f"save_gif is not supported for {sim_type}; disabling",
+            stacklevel=2,
+        )
+        save_gif = False
     chunk = _resolve_chunk(steps_per_call, needs_host_every_step=save_gif)
     _banner(
         print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
@@ -162,22 +170,15 @@ def _simulate_simple(
 
     frames = [] if save_gif else None
 
-    # envs whose reward is a function of (pre-step state, action) provide
-    # step_reward (e.g. the on-device Reacher) — keeps totals gym-exact
-    use_step_reward = hasattr(env, "step_reward")
-
     @jax.jit
     def fused_chunk(s, ps):
         """`chunk` control steps in one device program; emits per-step
-        [reward, done] rows so the host transfers once per chunk."""
+        [reward, done] rows so the host transfers once per chunk.
+        env.step_reward keeps totals gym-exact for pre-step-reward envs."""
         def body(carry, _):
             s, ps = carry
             act, ps2, _ = pol.step(s, ps)
-            if use_step_reward:
-                s2, r = env.step_reward(s, act)
-            else:
-                s2 = env.step(s, act)
-                r = env.reward(s2)
+            s2, r = env.step_reward(s, act)
             row = jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)])
             return (s2, ps2), row
         (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
@@ -202,22 +203,17 @@ def _simulate_simple(
                     done = bool(d_step)
                 continue
             act, ps, _ = pol.step(s, ps)
-            if use_step_reward:
-                s, r_step = env.step_reward(s, act)
-                rew += float(r_step)
-            else:
-                s = env.step(s, act)
-                rew += float(env.reward(s))
+            s, r_step = env.step_reward(s, act)
+            rew += float(r_step)
             cnt += 1
             done = bool(s.done)
             if frames is not None:
                 from mpopis_tpu.harness import plotting
 
-                render = (
-                    plotting.render_mountaincar
-                    if sim_type == "MountainCar"
-                    else plotting.render_cartpole
-                )
+                render = {
+                    "MountainCar": plotting.render_mountaincar,
+                    "CartPole": plotting.render_cartpole,
+                }.get(sim_type)
                 fig = render(env, s)
                 frames.append(plotting.figure_to_array(fig))
                 plotting.close(fig)

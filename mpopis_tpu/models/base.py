@@ -67,6 +67,14 @@ class Env:
     def reward(self, state: EnvState) -> jnp.ndarray:
         raise NotImplementedError
 
+    def step_reward(self, state: EnvState, action: jnp.ndarray):
+        """Step + the reward the driver should account for this action.
+        Default: post-step reward(s'). Envs whose reward is a function of
+        the PRE-step state and the action (gym Reacher/Swimmer semantics)
+        override this so MPOPI costs and harness totals stay gym-exact."""
+        s2 = self.step(state, action)
+        return s2, self.reward(s2)
+
     # --- conveniences ---------------------------------------------------
     @property
     def control_bounds(self):

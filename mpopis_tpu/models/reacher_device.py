@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpopis_tpu.models.base import Env, EnvState, make_state
+from mpopis_tpu.models.planar import _kb, impedance
 
 # --- constants probed from reacher.xml via mj_fullM / mjModel (f64) -------
 _A = 1.0007051618870246  # M00 constant part (incl. joint0 armature 1.0)
@@ -48,20 +49,11 @@ _GEAR = 200.0
 _H = 0.01  # option timestep
 _FRAME_SKIP = 2  # gym Reacher frame_skip
 _LIMIT = 3.0  # joint1 range ±3.0
-# solref (0.02, 1), solimp (0.9, 0.95, 0.001, 0.5, 2)
-_D0, _DMAX, _WIDTH, _MID, _POWER = 0.9, 0.95, 0.001, 0.5, 2.0
-_KC = 1.0 / (_DMAX * 0.02) ** 2  # constraint stiffness
-_BC = 2.0 / (_DMAX * 0.02)  # constraint damping
+# solref/solimp defaults: shared with the planar toolkit
+_KC, _BC = _kb(_H)
 _L1, _L2 = 0.1, 0.11  # link0 length, joint1->fingertip
 _INVWEIGHT1 = 0.9998211549602818  # mjModel.dof_invweight0[1] (constraint R)
 _Z = 0.0  # fingertip and target share z=0.01 -> vec z component is 0
-
-
-def _impedance(pos):
-    """solimp sigmoid d(|pos|) with power 2, midpoint 0.5."""
-    x = jnp.clip(jnp.abs(pos) / _WIDTH, 0.0, 1.0)
-    y = jnp.where(x < _MID, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) ** 2)
-    return _D0 + (_DMAX - _D0) * y
 
 
 def _qacc(q1, q2, v1, v2, tau1, tau2):
@@ -85,7 +77,7 @@ def _qacc(q1, q2, v1, v2, tau1, tau2):
     lower_closer = d_lo < d_hi
     pos = jnp.where(lower_closer, d_lo, d_hi)
     s = jnp.where(lower_closer, 1.0, -1.0)
-    imp = _impedance(pos)
+    imp = impedance(pos)
     aref = -_BC * (s * v2) - _KC * imp * pos
     a_mat = m00 / det  # J M^-1 J^T for J = ±e2 (true inverse)
     # MuJoCo regularizes with the MODEL CONSTANT dof_invweight0 (the

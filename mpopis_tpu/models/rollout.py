@@ -25,18 +25,11 @@ def rollout_one(env: Env, state0: EnvState, controls: jnp.ndarray, log_states: b
     else None.
     """
 
-    if hasattr(env, "step_reward"):
-        # env computes its reward jointly with the step (e.g. gym tasks
-        # whose reward is a function of the PRE-step state and the action,
-        # reacher_v4.py) — keeps rollout costs exactly gym-comparable
-        def body(s, u):
-            s2, r = env.step_reward(s, u)
-            return s2, (r, s2.x if log_states else None)
-    else:
-        def body(s, u):
-            s2 = env.step(s, u)
-            r = env.reward(s2)
-            return s2, (r, s2.x if log_states else None)
+    def body(s, u):
+        # step_reward defaults to post-step reward(s'); envs with pre-step
+        # reward semantics (gym Reacher/Swimmer) override it
+        s2, r = env.step_reward(s, u)
+        return s2, (r, s2.x if log_states else None)
 
     _, (rews, xs) = jax.lax.scan(body, state0, controls)
     return -jnp.sum(rews), xs

@@ -2,6 +2,7 @@
 order-statistic CI scheme, plots render."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from mpopis_tpu.harness import quantile_ci, simulate_car_racing, simulate_mountaincar
@@ -125,3 +126,28 @@ def test_render_frame_and_gif(tmp_path):
     gif = tmp_path / "t.gif"
     plotting.save_gif([arr, arr], str(gif), fps=10)
     assert gif.exists() and gif.stat().st_size > 0
+
+
+def test_simulate_mujoco_on_device_smoke():
+    """The on-device MuJoCo harness path end-to-end (chunked)."""
+    pytest.importorskip("mujoco")
+    from mpopis_tpu.harness.simulate import simulate_mujoco_on_device
+
+    metrics = simulate_mujoco_on_device(
+        "InvertedPendulum-v4",
+        num_trials=1,
+        num_steps=20,
+        policy_type="cemppi",
+        num_samples=16,
+        horizon=10,
+        lam=0.1,
+        ais_its=2,
+        seed=4,
+        print_output=False,
+        dtype=jnp.float64,
+    )
+    # balanced pendulum: healthy-gated 1.0 per step
+    assert metrics["rewards"][0] >= 19.0
+
+    with pytest.raises(ValueError):
+        simulate_mujoco_on_device("HalfCheetah-v4")

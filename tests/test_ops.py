@@ -144,3 +144,24 @@ def test_mvnormal_injected_z_exact():
     z = jnp.array([[1.0, -2.0, 0.5]])
     e = np.asarray(ops.mvnormal_samples(None, chol, 3, z=z))
     np.testing.assert_allclose(e, [[2.0, -4.0, 1.0]])
+
+
+def test_multinomial_counts_equal_indices_bucketing():
+    """multinomial_resample_counts must produce the exact draw counts of
+    multinomial_resample_indices on the same key (the PMC strategy relies
+    on this bitwise equivalence)."""
+    import jax
+
+    from mpopis_tpu.ops import (
+        multinomial_resample_counts,
+        multinomial_resample_indices,
+    )
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.uniform(0.01, 1.0, 64))
+    w = w / w.sum()
+    key = jax.random.key(123)
+    idx = np.asarray(multinomial_resample_indices(key, w, 64))
+    counts_ref = np.bincount(idx, minlength=64).astype(float)
+    counts = np.asarray(multinomial_resample_counts(key, w, 64))
+    np.testing.assert_array_equal(counts, counts_ref)

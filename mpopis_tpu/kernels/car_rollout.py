@@ -81,7 +81,8 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
     """Build the kernel body with physics constants baked in."""
     ll = p.l_r + p.l_f
 
-    def kernel(state0_ref, tx_ref, ty_ref, tw_ref, controls_ref, costs_ref):
+    def kernel(state0_ref, tx_ref, ty_ref, tw_ref, tc_ref, tx2_ref, ty2_ref,
+               controls_ref, costs_ref):
         s_sub = costs_ref.shape[0]  # sublane-groups per block
         shape = (s_sub, LANES)
 
@@ -95,7 +96,10 @@ def _make_kernel(p: CarParams, horizon: int, n_sub: int, dt: float, ddt: float,
                 min_d2, bx, by, bpx, bpy, bnx, bny, bw = carry
                 px = tx_ref[0, m]
                 py = ty_ref[0, m]
-                d2 = (x - px) ** 2 + (y - py) ** 2
+                # squared distance up to the per-query constant x²+y²:
+                # c_m − 2pₓx − 2pᵧy (precomputed c_m, 2pₓ, 2pᵧ in SMEM) —
+                # two FMAs instead of five ops; argmin is offset-invariant
+                d2 = tc_ref[0, m] - tx2_ref[0, m] * x - ty2_ref[0, m] * y
                 better = d2 < min_d2
                 m_prev = jax.lax.rem(m - 1 + m_track, m_track)
                 m_next = jax.lax.rem(m + 1, m_track)
@@ -320,6 +324,9 @@ def _car_rollout_costs_impl(
     tx = jnp.asarray(track_xs, dtype=jnp.float32).reshape(1, -1)
     ty = jnp.asarray(track_ys, dtype=jnp.float32).reshape(1, -1)
     tw = jnp.asarray(track_ws, dtype=jnp.float32).reshape(1, -1)
+    tc = tx * tx + ty * ty
+    tx2 = 2.0 * tx
+    ty2 = 2.0 * ty
 
     kernel = _make_kernel(
         params, horizon, n_sub, dt, ddt, m_track, params.beta_limit, num_cars
@@ -333,6 +340,9 @@ def _car_rollout_costs_impl(
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_track), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (horizon, na, block_k), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
@@ -341,7 +351,7 @@ def _car_rollout_costs_impl(
             (s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(state0, tx, ty, tw, ctrl)
+    )(state0, tx, ty, tw, tc, tx2, ty2, ctrl)
     return costs.reshape(-1)[:k]
 
 

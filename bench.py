@@ -77,9 +77,54 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
     return 1.0 / per_step
 
 
+def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15,
+                            n_short: int = 10, n_long: int = 60) -> float:
+    """On-device MuJoCo env-steps/s (CEMPPI policy step incl. 3 AIS its)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import ReacherDeviceEnv
+    from mpopis_tpu.policies import PolicyConfig, make_policy
+
+    env = ReacherDeviceEnv(dtype=jnp.float32)
+    cfg = PolicyConfig(kind="cemppi", num_samples=num_samples, horizon=horizon,
+                       lam=0.05, opt_its=3, sigma_est="mle")
+    pol = make_policy(env, cfg, cov_mat=[0.02, 0.02], jit=False)
+
+    @jax.jit
+    def mpc_step(env_state, pol_state):
+        action, pol_state, _ = pol.step(env_state, pol_state)
+        return env.step(env_state, action), pol_state
+
+    def run(n: int) -> float:
+        s, ps = env.reset(), pol.init_state(1)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, ps = mpc_step(s, ps)
+        np.asarray(s.x)
+        return time.perf_counter() - t0
+
+    run(3)
+    t_short = min(run(n_short) for _ in range(2))
+    t_long = min(run(n_long) for _ in range(2))
+    per_step = (t_long - t_short) / (n_long - n_short)
+    return num_samples * horizon * 3 / per_step  # env-steps/s
+
+
 def main() -> None:
     sps_8192 = bench_car_racing(8192)
     sps_150 = bench_car_racing(150)
+    details = {
+        "K150_H50_steps_per_s": round(sps_150, 3),
+        "baseline_steps_per_s": round(BASELINE_STEPS_PER_S, 3),
+        "config": "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing",
+    }
+    try:
+        details["reacher_on_device_env_steps_per_s"] = round(
+            bench_reacher_on_device(), 0
+        )
+    except Exception as exc:  # mujoco-free images: skip the extra detail
+        details["reacher_on_device_env_steps_per_s"] = f"skipped: {exc}"
     print(
         json.dumps(
             {
@@ -87,11 +132,7 @@ def main() -> None:
                 "value": round(sps_8192, 3),
                 "unit": "control_steps/s",
                 "vs_baseline": round(sps_8192 / BASELINE_STEPS_PER_S, 2),
-                "details": {
-                    "K150_H50_steps_per_s": round(sps_150, 3),
-                    "baseline_steps_per_s": round(BASELINE_STEPS_PER_S, 3),
-                    "config": "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing",
-                },
+                "details": details,
             }
         )
     )

@@ -48,8 +48,10 @@ def main() -> None:
         n_proc,
         dev_per_proc,
     )
+    import jax.numpy as jnp
+
     mesh = make_sample_mesh()  # global mesh over all processes' devices
-    env = MountainCarEnv()
+    env = MountainCarEnv(dtype=jnp.float64)
     cfg = PolicyConfig(kind="cemppi", num_samples=32, horizon=8, lam=0.1,
                        opt_its=2)
     pol = make_policy(

@@ -14,26 +14,37 @@ import pytest
 
 @pytest.mark.slow
 def test_two_process_global_mesh_matches_single_process(tmp_path):
+    import socket
+
     script = os.path.join(
         os.path.dirname(__file__), "..", "scripts", "multiprocess_worker.py"
     )
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    base_flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (
+        base_flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    with socket.socket() as sock:  # free ephemeral port for the coordinator
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
     outs = [str(tmp_path / f"act{p}.txt") for p in (0, 1)]
     procs = [
         subprocess.Popen(
-            [sys.executable, script, "localhost:56791", "2", str(pid), "4",
+            [sys.executable, script, f"localhost:{port}", "2", str(pid), "4",
              outs[pid]],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
         for pid in (0, 1)
     ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=280)
-        logs.append(out)
-        assert p.returncode == 0, out[-2000:]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     a0 = np.array([float(v) for v in open(outs[0]).read().split(",")])
     a1 = np.array([float(v) for v in open(outs[1]).read().split(",")])
     np.testing.assert_array_equal(a0, a1)
@@ -47,8 +58,10 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     from mpopis_tpu.policies import PolicyConfig, make_policy
 
     assert len(jax.devices()) == 8
+    import jax.numpy as jnp
+
     mesh = make_sample_mesh()
-    env_m = MountainCarEnv()
+    env_m = MountainCarEnv(dtype=jnp.float64)
     cfg = PolicyConfig(kind="cemppi", num_samples=32, horizon=8, lam=0.1,
                        opt_its=2)
     pol = make_policy(
@@ -56,5 +69,5 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     )
     action, _, _ = pol.step(env_m.reset(), pol.init_state(7))
     # cross-process collectives reduce in a different order than the
-    # single-process program: agreement is at f32 rounding level
-    np.testing.assert_allclose(a0, np.asarray(action), rtol=1e-6, atol=1e-7)
+    # single-process program: agreement at f64 rounding level
+    np.testing.assert_allclose(a0, np.asarray(action), rtol=1e-12, atol=1e-14)

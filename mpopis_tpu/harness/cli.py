@@ -16,7 +16,8 @@ from mpopis_tpu.policies.config import POLICY_KINDS
 
 
 def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float,
-            ais_its: int = 10, lambda_ais: float = 20.0):
+            ais_its: int = 10, lambda_ais: float = 20.0,
+            ce_sigma_est: str = "ss"):
     p.add_argument("--policy", default="cemppi", help=f"one of {POLICY_KINDS}")
     p.add_argument("--trials", type=int, default=1)
     p.add_argument("--steps", type=int, default=200)
@@ -27,7 +28,7 @@ def _common(p: argparse.ArgumentParser, samples: int, horizon: int, lam: float,
     p.add_argument("--ais-its", type=int, default=ais_its)
     p.add_argument("--lambda-ais", type=float, default=lambda_ais)
     p.add_argument("--ce-elite-threshold", type=float, default=0.8)
-    p.add_argument("--ce-sigma-est", default="ss")
+    p.add_argument("--ce-sigma-est", default=ce_sigma_est)
     p.add_argument("--cma-sigma", type=float, default=0.75)
     p.add_argument("--cma-elite-threshold", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=None)
@@ -62,11 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     # the reference's mountaincar/cartpole drivers default to 5 AIS
     # iterations with λ_ais=0.1 (mountaincar_example.jl:59-60)
     mc = sub.add_parser("mountaincar", help="continuous mountain car")
-    _common(mc, 20, 15, 0.1, ais_its=5, lambda_ais=0.1)
+    # reference defaults: ce_Σ_est=:mle (mountaincar_example.jl:63)
+    _common(mc, 20, 15, 0.1, ais_its=5, lambda_ais=0.1, ce_sigma_est="mle")
     mc.add_argument("--save-gif", action="store_true")
 
     cp = sub.add_parser("cartpole", help="continuous cart-pole")
-    _common(cp, 20, 15, 0.1, ais_its=5, lambda_ais=0.1)
+    _common(cp, 20, 15, 0.1, ais_its=5, lambda_ais=0.1, ce_sigma_est="mle")
     cp.add_argument("--save-gif", action="store_true")
 
     mj = sub.add_parser("mujoco", help="host-batched MuJoCo (envpool-lite engine)")

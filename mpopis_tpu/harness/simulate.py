@@ -154,7 +154,9 @@ def _simulate_simple(
             stacklevel=2,
         )
         save_gif = False
-    chunk = _resolve_chunk(steps_per_call, needs_host_every_step=save_gif)
+    chunk = _resolve_chunk(
+        steps_per_call, needs_host_every_step=save_gif or pol_log
+    )
     _banner(
         print_output, sim_type, policy_type, num_trials, num_steps, num_samples,
         horizon, lam, alpha, ais_its, lambda_ais, ce_elite_threshold,

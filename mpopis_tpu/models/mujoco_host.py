@@ -71,7 +71,14 @@ class MujocoBatchedEnv:
             try:
                 self._init_native(num_threads)
                 self._backend = "native"
-            except Exception:
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"native envpool_lite engine unavailable ({exc!r}); "
+                    "falling back to the pure-Python engine",
+                    stacklevel=2,
+                )
                 self._backend = None
         if self._backend is None:
             self._init_python()
@@ -129,6 +136,7 @@ class MujocoBatchedEnv:
 
         self._envs = [make_one() for _ in range(self.num_envs)]
         for e in self._envs:
+            e.frame_skip = self.frame_skip  # match the native engine's stepping
             e.reset(seed=0)
             e.set_state(e.init_qpos, e.init_qvel)
         probe = self._envs[0]

@@ -139,28 +139,25 @@ _BASE_QACC, _mass_entries, _ = build_planar_dynamics(
 )
 
 
-def _qacc(q, qv, tau3, tau4):
+def _qacc_full(q, qv, tau):
     """Constrained forward dynamics over 5-tuples; exactly mj_forward.
     The fluid wrench is state-dependent, so it folds into the applied
-    force per RK stage."""
+    force (re-evaluated per RK stage by rk4_step)."""
     fl = _fluid_qfrc(q, qv)
+    return _BASE_QACC(q, qv, tuple(t + f for t, f in zip(tau, fl)))
+
+
+def _qacc(q, qv, tau3, tau4):
+    """Acceleration-only wrapper (probe/tests API)."""
     zero = jnp.zeros_like(q[0])
-    tau = (fl[0], fl[1], fl[2], fl[3] + tau3, fl[4] + tau4)
-    acc, _ = _BASE_QACC(q, qv, tau)
-    return acc
+    return _qacc_full(q, qv, (zero, zero, zero, tau3, tau4))[0]
 
 
 def _rk4(q, qv, tau3, tau4):
     """One mj_RungeKutta step at h=_H over (5-tuple, 5-tuple) state."""
-
-    def qacc_tau(qq, vv, tau):
-        fl = _fluid_qfrc(qq, vv)
-        tt = tuple(t + f for t, f in zip(tau, fl))
-        return _BASE_QACC(qq, vv, tt)
-
     zero = jnp.zeros_like(q[0])
     tau = (zero, zero, zero, tau3, tau4)
-    qn, vn, _, _ = rk4_step(qacc_tau, q, qv, tau, _H)
+    qn, vn, _, _ = rk4_step(_qacc_full, q, qv, tau, _H)
     return qn, vn
 
 

@@ -46,9 +46,6 @@ class Strategy:
     num_samples: int
     dtype: Any
 
-    def init_extra(self):
-        return None
-
     def init_chol(self, chol0: jnp.ndarray) -> jnp.ndarray:
         return chol0
 
@@ -208,9 +205,6 @@ class CMAStrategy(Strategy):
             c_mu=c_mu,
             e_norm=e_norm,
         )
-
-    def init_extra(self):
-        raise RuntimeError("CMA extra must be built from Σ0 by the driver")
 
     def make_extra(self, sigma0_mat: jnp.ndarray):
         return dict(

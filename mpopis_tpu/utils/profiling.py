@@ -16,12 +16,15 @@ import jax
 
 
 class PhaseTimer:
-    """Accumulates wall-clock per named phase, blocking on device results.
+    """Accumulates wall-clock per named phase.
 
-    Usage:
+    JAX dispatch is asynchronous, so the caller must block on the phase's
+    device results INSIDE the with-block for the timing to mean anything:
+
         timer = PhaseTimer()
         with timer.phase("rollout"):
             costs = rollout(...)
+            jax.block_until_ready(costs)
         print(timer.report())
     """
 
@@ -30,13 +33,11 @@ class PhaseTimer:
         self.counts = defaultdict(int)
 
     @contextlib.contextmanager
-    def phase(self, name: str, block_on=None):
+    def phase(self, name: str):
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

@@ -34,7 +34,6 @@ def main():
     n_dev = len(jax.devices())
     env = CarRacingEnv(dtype=jnp.float32)
     cov = np.diag([0.0625, 0.1])
-    k_total = 1024 * n_dev  # fixed work per device (weak scaling)
     results = {}
     counts = sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
     for nd in counts:

@@ -125,6 +125,19 @@ def main() -> None:
         )
     except Exception as exc:  # mujoco-free images: skip the extra detail
         details["reacher_on_device_env_steps_per_s"] = f"skipped: {exc}"
+    try:
+        # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
+        # violation bookkeeping included); trial 2 excludes compiles
+        from mpopis_tpu.harness import simulate_car_racing
+
+        metrics = simulate_car_racing(
+            num_trials=2, num_steps=100, seed=7, laps=1, print_output=False
+        )
+        details["harness_steps_per_s_K150"] = round(
+            float(metrics["control_steps_per_s"][1]), 1
+        )
+    except Exception as exc:
+        details["harness_steps_per_s_K150"] = f"skipped: {exc}"
     print(
         json.dumps(
             {

@@ -270,17 +270,20 @@ ON_DEVICE_MUJOCO_TASKS = (
     "Swimmer-v4",
     "InvertedPendulum-v4",
     "InvertedDoublePendulum-v4",
+    "HalfCheetah-v4",
 )
 
 
 def simulate_mujoco_on_device(task: str, **kwargs):
     """MuJoCo task with ON-DEVICE dynamics (no host engine): the K×T
     rollout fan-out runs on the TPU like the car models. Available for the
-    contact-free tasks with closed-form dynamics (models/reacher_device.py;
-    trajectories match mj_step to solver tolerance)."""
+    contact-free tasks with closed-form dynamics AND HalfCheetah with the
+    full contact pipeline (models/cheetah_device.py); trajectories match
+    mj_step to solver tolerance."""
     import jax.numpy as jnp
 
     from mpopis_tpu.models import (
+        CheetahDeviceEnv,
         InvertedDoublePendulumDeviceEnv,
         InvertedPendulumDeviceEnv,
         ReacherDeviceEnv,
@@ -292,6 +295,7 @@ def simulate_mujoco_on_device(task: str, **kwargs):
         "Swimmer-v4": SwimmerDeviceEnv,
         "InvertedPendulum-v4": InvertedPendulumDeviceEnv,
         "InvertedDoublePendulum-v4": InvertedDoublePendulumDeviceEnv,
+        "HalfCheetah-v4": CheetahDeviceEnv,
     }
     if task not in registry:
         raise ValueError(

@@ -1,6 +1,7 @@
 from mpopis_tpu.models.base import Env, EnvState, make_state
 from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, step_car_state
 from mpopis_tpu.models.cartpole import CartPoleEnv
+from mpopis_tpu.models.cheetah_device import CheetahDeviceEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
 from mpopis_tpu.models.pendulum_device import (
@@ -21,6 +22,7 @@ __all__ = [
     "car_reward",
     "step_car_state",
     "CartPoleEnv",
+    "CheetahDeviceEnv",
     "MountainCarEnv",
     "MultiCarRacingEnv",
     "InvertedDoublePendulumDeviceEnv",

@@ -150,4 +150,4 @@ def test_simulate_mujoco_on_device_smoke():
     assert metrics["rewards"][0] >= 19.0
 
     with pytest.raises(ValueError):
-        simulate_mujoco_on_device("HalfCheetah-v4")
+        simulate_mujoco_on_device("Hopper-v4")  # no on-device dynamics (yet)

@@ -47,7 +47,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpopis_tpu.models.base import Env, EnvState, make_state
-from mpopis_tpu.models.planar import build_planar_dynamics, chol_unrolled, chol_solve_unrolled
+from mpopis_tpu.models.planar import (
+    build_planar_dynamics,
+    chol_solve_unrolled,
+    chol_unrolled,
+    impedance,
+)
 
 _G = 9.81
 _H = 0.01
@@ -191,12 +196,9 @@ _, _mass_entries, _bias = build_planar_dynamics(
 
 
 def _impedance(pos, width):
-    """solimp sigmoid with d0=0, dmax=0.8, midpoint 0.5, power 2. MuJoCo
-    clamps D0 to mjMINIMP=1e-4 BEFORE the sigmoid (probed: imp at shallow
-    gaps equals 1e-4 + (0.8−1e-4)·y to all digits)."""
-    x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
-    y = jnp.where(x < 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) ** 2)
-    return 1e-4 + (_DMAX - 1e-4) * y
+    """Cheetah solimp: d0=0 (clamped to mjMINIMP inside planar.impedance),
+    dmax=0.8."""
+    return impedance(pos, d0=0.0, dmax=_DMAX, width=width)
 
 
 def _endpoint_world(q):
@@ -209,7 +211,7 @@ def _endpoint_world(q):
     return pts, (ox, oz, th)
 
 
-def _contact_rows(q, qv):
+def _contact_rows(q, qv, zero):
     """Constraint rows: (J as list of 9 scalars, aref, R, active) per row.
 
     Rows: 6 joint limits, then per contact [n+μt, n−μt, merged-normal]
@@ -217,9 +219,10 @@ def _contact_rows(q, qv):
     kinematic chains: for a hinge dof anchored at world (ax, az),
     ∂p_z/∂θ = −(p_x − ax) and ∂p_x/∂θ = (p_z − az); slides contribute
     identity entries. Normal rows use the sphere-center x; tangential rows
-    use the CONTACT POINT z = gap/2 (verified against efc_J).
+    use the CONTACT POINT z = gap/2 (verified against efc_J). `zero` is
+    the caller's structural-zero sentinel: the solver skips J entries that
+    ARE this object, so it must be shared (XLA does not fold float x·0).
     """
-    zero = jnp.zeros_like(q[0])
     rows = []
     # --- joint limits ---
     for dof, lo, hi in _LIMITS:
@@ -275,12 +278,13 @@ def _contact_rows(q, qv):
     return rows
 
 
-def _solve_qp(rows, l_chol, a_smooth, outer: int, cg: int):
+def _solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int):
     """Fixed-iteration active-set/CG solve of the strictly convex box-QP
     min ½λᵀ(A+R)λ − rhsᵀλ, λ≥0 (A = J M⁻¹ Jᵀ), matrix-free through the
-    static-sparsity J. Returns qfrc_constraint as a 9-tuple."""
+    static-sparsity J (`zero` is the shared structural-zero sentinel the
+    rows were built with). Returns qfrc_constraint as a 9-tuple."""
     n = len(rows)
-    zero = jnp.zeros_like(a_smooth[0])
+    assert n == _N_ROWS, (n, _N_ROWS)
 
     def j_t_apply(lam_rows):
         """u = Σ_r λ_r J_rᵀ (9 scalars)."""
@@ -370,8 +374,9 @@ def _euler_step(q, qv, tau, outer, cg):
     l = chol_unrolled(m, 9)
     smooth = _qfrc_smooth(q, qv, tau)
     a_smooth = chol_solve_unrolled(l, smooth, 9)
-    rows = _contact_rows(q, qv)
-    qfrc_c = _solve_qp(rows, l, a_smooth, outer, cg)
+    zero = jnp.zeros_like(q[0])
+    rows = _contact_rows(q, qv, zero)
+    qfrc_c = _solve_qp(rows, zero, l, a_smooth, outer, cg)
     # implicit damping: (M + h·D) Δv/h = smooth + qfrc_c
     md = [[m[i][j] for j in range(i + 1)] for i in range(9)]
     for d in range(9):

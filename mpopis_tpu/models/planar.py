@@ -51,11 +51,13 @@ def _kb(timestep: float):
     return 1.0 / (_DMAX * tc) ** 2, 2.0 / (_DMAX * tc)
 
 
-def impedance(pos):
-    """solimp sigmoid d(|pos|), power 2, midpoint 0.5."""
-    x = jnp.clip(jnp.abs(pos) / _WIDTH, 0.0, 1.0)
+def impedance(pos, d0=_D0, dmax=_DMAX, width=_WIDTH):
+    """solimp sigmoid d(|pos|), power 2, midpoint 0.5. MuJoCo clamps D0 to
+    mjMINIMP=1e-4 BEFORE the sigmoid (probed on cheetah's d0=0 solimp)."""
+    d0_eff = max(d0, 1e-4)
+    x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
     y = jnp.where(x < _MID, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) ** 2)
-    return _D0 + (_DMAX - _D0) * y
+    return d0_eff + (dmax - d0_eff) * y
 
 
 def chol_unrolled(m, n):

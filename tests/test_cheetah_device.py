@@ -77,8 +77,9 @@ def test_mass_matrix_and_contact_qacc_match_mj_forward():
             l = chd.chol_unrolled(mm, 9)
             smooth = chd._qfrc_smooth(q, v, tau)
             a_sm = chd.chol_solve_unrolled(l, smooth, 9)
-            rows = chd._contact_rows(q, v)
-            qf = chd._solve_qp(rows, l, a_sm, 6, 40)
+            zero = jnp.zeros_like(q[0])
+            rows = chd._contact_rows(q, v, zero)
+            qf = chd._solve_qp(rows, zero, l, a_sm, 6, 40)
             return tuple(
                 chd.chol_solve_unrolled(
                     l, [smooth[i] + qf[i] for i in range(9)], 9

@@ -124,7 +124,7 @@ _KC = 1.0 / (_DMAX * 0.02) ** 2  # 3906.25
 _BC = 2.0 / (_DMAX * 0.02)  # 125.0
 _CON_WIDTH, _LIM_WIDTH = 0.01, 0.03
 _R_FACTOR = 2.0 * _MU * _MU * (1.0 + _MU * _MU)  # pyramidal R scaling
-_N_ROWS = len(_LIMITS) + 2 * _N_CON  # y-tangent row pair merged, see below
+_N_ROWS = len(_LIMITS) + 3 * _N_CON  # [n+μt, n−μt, merged-normal] per contact
 # NOTE on row count: each contact's 4 pyramid rows are (n+μt, n−μt, n, n);
 # the two identical pure-normal rows carry equal λ at the optimum, so they
 # merge into ONE row whose λ represents the TOTAL force of the pair and

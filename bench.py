@@ -20,6 +20,21 @@ import numpy as np
 BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
 
 
+def _slope(run, n_short: int, n_long: int, reps: int = 3,
+           retries: int = 2) -> float:
+    """Per-step slope between two chained-run lengths, guarded against
+    relay jitter making t_long <= t_short (which would report a negative
+    or infinite rate): re-measure up to `retries` times, then clamp to a
+    small positive epsilon."""
+    for _ in range(retries + 1):
+        t_short = min(run(n_short) for _ in range(reps))
+        t_long = min(run(n_long) for _ in range(reps))
+        per_step = (t_long - t_short) / (n_long - n_short)
+        if per_step > 0.0:
+            return per_step
+    return max(per_step, 1e-9)
+
+
 def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
                      n_short: int = 10, n_long: int = 60, warmup: int = 3) -> float:
     """Per-step time from the slope between two chained-run lengths.
@@ -71,10 +86,7 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
         assert bool(np.isfinite(x_host).all())
         return dt
 
-    t_short = min(run(n_short) for _ in range(3))
-    t_long = min(run(n_long) for _ in range(3))
-    per_step = (t_long - t_short) / (n_long - n_short)
-    return 1.0 / per_step
+    return 1.0 / _slope(run, n_short, n_long)
 
 
 def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15,
@@ -105,9 +117,7 @@ def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15,
         return time.perf_counter() - t0
 
     run(3)
-    t_short = min(run(n_short) for _ in range(2))
-    t_long = min(run(n_long) for _ in range(2))
-    per_step = (t_long - t_short) / (n_long - n_short)
+    per_step = _slope(run, n_short, n_long, reps=2)
     return num_samples * horizon * 3 / per_step  # env-steps/s
 
 

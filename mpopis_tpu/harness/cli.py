@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the dynamics on the TPU (pure-JAX closed forms; "
         "contact-free tasks only, e.g. Reacher-v4)",
     )
+    mj.add_argument(
+        "--solver-iters", default=None, metavar="OUTER,CG",
+        help="on-device contact tasks: fixed iteration counts of the "
+        "contact QP solve (default 3,16 = control-grade forces ~1e-3; "
+        "6,40 matches mj_step to solver tolerance)",
+    )
 
     return ap
 
@@ -157,9 +163,14 @@ def main(argv=None) -> int:
                         "gym frame_skip)",
                         stacklevel=1,
                     )
+            solver_iters = None
+            if args.solver_iters is not None:
+                outer, cg = (int(v) for v in args.solver_iters.split(","))
+                solver_iters = (outer, cg)
             simulate.simulate_mujoco_on_device(
                 args.env_name,
                 steps_per_call=args.steps_per_call,
+                solver_iters=solver_iters,
                 **common,
             )
             return 0

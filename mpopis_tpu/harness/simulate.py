@@ -11,7 +11,10 @@ host pays one dispatch and one device→host transfer per chunk instead of
 per step. Early termination (laps/violations) is detected host-side from
 the telemetry block; steps computed past the stopping point inside a
 chunk are simply discarded, which leaves results identical to the
-step-by-step loop (tests/test_harness.py pins this). Paths that need
+step-by-step loop up to compile-level rounding (the chunked scan is a
+differently-compiled program; tests/test_harness.py pins equality at
+rtol=1e-12 in f64 — in f32 on TPU, threshold-based bookkeeping such as
+violation counts can in principle flip on boundary-grazing steps). Paths that need
 host interposition every step (gif rendering, trajectory plots, additive
 state noise, policy logging) fall back to steps_per_call=1.
 """
@@ -278,8 +281,10 @@ def simulate_mujoco_on_device(task: str, **kwargs):
     """MuJoCo task with ON-DEVICE dynamics (no host engine): the K×T
     rollout fan-out runs on the TPU like the car models. Available for the
     contact-free tasks with closed-form dynamics AND HalfCheetah with the
-    full contact pipeline (models/cheetah_device.py); trajectories match
-    mj_step to solver tolerance."""
+    full contact pipeline (models/cheetah_device.py). Contact-free tasks
+    match mj_step to solver tolerance; contact tasks default to
+    control-grade solver iterations (forces ~1e-3) — pass
+    solver_iters=(6, 40) for mj_step-parity-grade trajectories."""
     import jax.numpy as jnp
 
     from mpopis_tpu.models import (
@@ -303,7 +308,14 @@ def simulate_mujoco_on_device(task: str, **kwargs):
             "(the host engine supports all 11 tasks: python -m mpopis_tpu mujoco)"
         )
     dtype = kwargs.pop("dtype", jnp.float32)
-    env = registry[task](dtype=dtype)
+    solver_iters = kwargs.pop("solver_iters", None)
+    env_kwargs = {}
+    if solver_iters is not None:
+        cls = registry[task]
+        if not hasattr(cls, "solver_outer"):
+            raise ValueError(f"{task!r} has no contact solver (solver_iters)")
+        env_kwargs = {"solver_outer": solver_iters[0], "solver_cg": solver_iters[1]}
+    env = registry[task](dtype=dtype, **env_kwargs)
     kwargs.setdefault("u0", (0.0,) * env.action_dim)
     kwargs.setdefault("cov_mat", (0.25,) * env.action_dim)
     return _simulate_simple(env, f"{task} (on-device)", **kwargs)

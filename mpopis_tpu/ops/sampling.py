@@ -70,6 +70,22 @@ def multinomial_resample_counts(
     cdf = cdf / cdf[-1]
     u = jax.random.uniform(key, (num_draws,), dtype=weights.dtype)
     # p_k = #{u_i <= cdf_k}; counts_k = p_k - p_{k-1} reproduces
-    # searchsorted(side="left") bucketing exactly
-    p = jnp.sum(u[None, :] <= cdf[:, None], axis=1, dtype=weights.dtype)
+    # searchsorted(side="left") bucketing exactly. The (K, draws) compare is
+    # tiled over 4096-draw blocks to bound the intermediate at K·4096 bools
+    # (a full K=32768 PMC step would otherwise materialize ~1-4 GB); block
+    # sums are exact integer-valued floats, so the result is bitwise
+    # identical to the untiled compare-reduce.
+    tile = 4096
+    if num_draws <= tile:
+        p = jnp.sum(u[None, :] <= cdf[:, None], axis=1, dtype=weights.dtype)
+    else:
+        pad = (-num_draws) % tile
+        u_t = jnp.pad(u, (0, pad), constant_values=jnp.inf).reshape(-1, tile)
+
+        def body(acc, ublk):
+            return acc + jnp.sum(
+                ublk[None, :] <= cdf[:, None], axis=1, dtype=weights.dtype
+            ), None
+
+        p, _ = jax.lax.scan(body, jnp.zeros_like(cdf), u_t)
     return jnp.diff(p, prepend=jnp.zeros((1,), dtype=weights.dtype))

@@ -274,6 +274,8 @@ ON_DEVICE_MUJOCO_TASKS = (
     "InvertedPendulum-v4",
     "InvertedDoublePendulum-v4",
     "HalfCheetah-v4",
+    "Hopper-v4",
+    "Walker2d-v4",
 )
 
 
@@ -289,10 +291,12 @@ def simulate_mujoco_on_device(task: str, **kwargs):
 
     from mpopis_tpu.models import (
         CheetahDeviceEnv,
+        HopperDeviceEnv,
         InvertedDoublePendulumDeviceEnv,
         InvertedPendulumDeviceEnv,
         ReacherDeviceEnv,
         SwimmerDeviceEnv,
+        Walker2dDeviceEnv,
     )
 
     registry = {
@@ -301,6 +305,8 @@ def simulate_mujoco_on_device(task: str, **kwargs):
         "InvertedPendulum-v4": InvertedPendulumDeviceEnv,
         "InvertedDoublePendulum-v4": InvertedDoublePendulumDeviceEnv,
         "HalfCheetah-v4": CheetahDeviceEnv,
+        "Hopper-v4": HopperDeviceEnv,
+        "Walker2d-v4": Walker2dDeviceEnv,
     }
     if task not in registry:
         raise ValueError(

@@ -1,39 +1,22 @@
 """On-device (pure-JAX) HalfCheetah-v4 — MuJoCo-exact dynamics WITH contacts.
 
 The flagship benchmark of the reference (README.md:58-100 is a HalfCheetah
-run through envpool). This module implements half_cheetah.xml end to end on
-the TPU: the 9-DoF planar kinematic tree (energy-AD mass matrix/Coriolis via
-models/planar.py), joint springs/damping/armature, plane-capsule contacts
-with MuJoCo's pyramidal friction model, the joint soft limits, and Euler
-integration with implicit damping. Every constant and formula below was
-probed from the mujoco wheel and verified numerically (docs/ROADMAP.md
-records the probe results):
-
-- plane-capsule contact: one candidate per capsule end sphere (16 total);
-  gap = p_z − r, active when gap < 0; contact point (p_x, gap/2); condim-3
-  PYRAMIDAL cone ⇒ 4 rows per contact with J = J_normal ± μ·J_tangent per
-  tangent direction (the y-tangent rows reduce to two copies of J_normal
-  in the plane);
-- per-row aref = −b·(J q̇) − k·imp·gap with k = (dmax·tc)⁻², b = 2/(dmax·tc)
-  (contact solimp (0, 0.8, 0.01), solref (0.02, 1) ⇒ k=3906.25, b=125);
-  row regularizer R = (1−imp)/imp · body_invweight0[b][0] · 2μ²(1+μ²);
-- joint limits (6 rows, solimplimit (0, 0.8, 0.03)) solved JOINTLY with
-  the contacts: R = (1−imp)/imp · dof_invweight0[d];
-- the constrained step is a strictly convex box-QP in λ ≥ 0
-  (A = J M⁻¹ Jᵀ + diag(R)); a fixed-iteration ACTIVE-SET solver (refine the
-  active set, solve the reduced system by conjugate gradients, project)
-  matches MuJoCo's Newton to machine precision on realistic trajectories
-  (measured: max rel qfrc error 1.4e-14 over 329 contact substeps with
-  outer=3, cg=20, cold start);
-- Euler with implicit damping: v' = v + h·(M + h·diag(damping))⁻¹
-  (qfrc_smooth + Jᵀλ), q' = q + h·v' (λ solved against the UNDAMPED M).
+run through envpool). This module instantiates the generic planar-contact
+pipeline (models/planar_contact.py — where all the probed contact-model
+facts are documented) for half_cheetah.xml: the 9-DoF planar kinematic
+tree (energy-AD mass matrix/Coriolis via models/planar.py), joint
+springs/damping/armature, plane-capsule contacts with MuJoCo's pyramidal
+friction model (μ=0.4, solimp (0, 0.8, 0.01), no margin), the joint soft
+limits (solimp (0, 0.8, 0.03)), and Euler integration with implicit
+damping. Every constant below was probed from the mujoco wheel and
+verified numerically (docs/ROADMAP.md records the probe results).
 
 Obs/reward follow half_cheetah_v4.py: obs = [qpos[1:], qvel] (fresh —
 cheetah reads joint state, not xpos), reward = (x'−x)/dt − 0.1·Σa²
 (pre-step x ⇒ exposed through step_reward).
 
 TPU layout: scalar/SoA over tuples like the rest of the on-device family;
-the CG state is (R_ROWS, K)-shaped with K minor (lane-dense); J is a
+the CG state is (N_ROWS, K)-shaped with K minor (lane-dense); J is a
 static-sparsity structure (each row touches ≤ 6 dofs), applied as unrolled
 scalar accumulations.
 """
@@ -47,14 +30,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpopis_tpu.models.base import Env, EnvState, make_state
-from mpopis_tpu.models.planar import (
-    build_planar_dynamics,
-    chol_solve_unrolled,
-    chol_unrolled,
-    impedance,
+from mpopis_tpu.models.planar import chol_solve_unrolled, chol_unrolled
+from mpopis_tpu.models.planar_contact import (
+    PCBody,
+    PCContact,
+    PCLimit,
+    PlanarContactModel,
+    build_contact_stepper,
+    contact_rows,
+    solve_qp,
 )
 
-_G = 9.81
 _H = 0.01
 _FRAME_SKIP = 5
 _MU = 0.4
@@ -119,275 +105,60 @@ _BODY_INVWEIGHT0 = (  # translation component, bodies in _BODIES order
     0.2661441029233887,
 )
 # constraint constants: contact solimp (0, 0.8, 0.01); limit solimp (0, 0.8, 0.03)
-_DMAX = 0.8
-_KC = 1.0 / (_DMAX * 0.02) ** 2  # 3906.25
-_BC = 2.0 / (_DMAX * 0.02)  # 125.0
-_CON_WIDTH, _LIM_WIDTH = 0.01, 0.03
-_R_FACTOR = 2.0 * _MU * _MU * (1.0 + _MU * _MU)  # pyramidal R scaling
-_N_ROWS = len(_LIMITS) + 3 * _N_CON  # [n+μt, n−μt, merged-normal] per contact
-# NOTE on row count: each contact's 4 pyramid rows are (n+μt, n−μt, n, n);
-# the two identical pure-normal rows carry equal λ at the optimum, so they
-# merge into ONE row whose λ represents the TOTAL force of the pair and
-# whose regularizer is R/2 (two parallel identical regularized rows):
-# substituting ν = λ₁+λ₂ into the stationarity conditions gives
-# a·ν + (R/2)·ν = rhs, identical equations, identical coupling into the
-# other rows. The solved QP is exactly MuJoCo's.
+_CON_SOLIMP = (0.0, 0.8, 0.01)
+_LIM_SOLIMP = (0.0, 0.8, 0.03)
+_N_ROWS = len(_LIMITS) + 3 * _N_CON
 
-# chain of hinge dofs (body-index anchors) from each body to the root
-_CHAINS = []
-for bi, (_, parent, *_rest) in enumerate(_BODIES):
-    chain = []
-    cur = bi
-    while cur != -1:
-        chain.append(cur)
-        cur = _BODIES[cur][1]
-    _CHAINS.append(tuple(chain))
-
-
-def _frames(q):
-    """Per-body world origin (x, z) and absolute angle from qpos tuple."""
-    ox = [None] * 7
-    oz = [None] * 7
-    th = [None] * 7
-    for bi, (_, parent, (px, pz), _com, _m, _i, dof) in enumerate(_BODIES):
-        if parent == -1:
-            ox[bi] = q[0]  # torso slides from (0, 0.7)
-            oz[bi] = q[1] + pz
-            th[bi] = q[2]
-        else:
-            c, s = jnp.cos(th[parent]), jnp.sin(th[parent])
-            ox[bi] = ox[parent] + c * px + s * pz
-            oz[bi] = oz[parent] - s * px + c * pz
-            th[bi] = th[parent] + q[dof]
-    return ox, oz, th
-
-
-def _kin(q):
-    """Kinematics outputs: 7×(com_x, com_z) + 7 angles (21-tuple)."""
-    ox, oz, th = _frames(q)
-    out = []
-    for bi, (_, _p, _off, (cx, cz), _m, _i, _d) in enumerate(_BODIES):
-        c, s = jnp.cos(th[bi]), jnp.sin(th[bi])
-        out.append(ox[bi] + c * cx + s * cz)
-        out.append(oz[bi] - s * cx + c * cz)
-    out.extend(th)
-    return tuple(out)
-
-
-_MASSES = tuple(b[4] for b in _BODIES)
-_IYY = tuple(b[5] for b in _BODIES)
-_W_OUT = tuple(
-    w for m in _MASSES for w in (m, m)
-) + _IYY
-_POT = tuple(
-    c for m in _MASSES for c in (0.0, m * _G)
-) + (0.0,) * 7
-
-_, _mass_entries, _bias = build_planar_dynamics(
-    _kin,
-    kin_weights=_W_OUT,
-    pot_coeffs=_POT,
+MODEL = PlanarContactModel(
     n_dof=9,
-    damping=(0.0,) * 9,  # damping/springs handled in qfrc_smooth below
+    root_offset=(0.0, 0.7),
+    bodies=tuple(
+        PCBody(parent=p, pos=off, anchor=(0.0, 0.0), sign=1.0, com=com,
+               mass=m, iyy=iyy, dof=dof)
+        for (_nm, p, off, com, m, iyy, dof) in _BODIES
+    ),
+    contacts=tuple(
+        PCContact(body=b, local=loc, radius=_RADIUS, mu=_MU, margin=0.0,
+                  solimp=_CON_SOLIMP)
+        for (b, loc) in _ENDPOINTS
+    ),
+    limits=tuple(
+        PCLimit(dof=d, lo=lo, hi=hi, solimp=_LIM_SOLIMP)
+        for (d, lo, hi) in _LIMITS
+    ),
+    damping=_DAMPING,
     armature=_ARMATURE,
-    limits=(),
+    stiffness=_STIFFNESS,
+    gear=_GEAR,
+    dof_invweight0=_DOF_INVWEIGHT0,
+    body_invweight0=_BODY_INVWEIGHT0,
     timestep=_H,
+    integrator="euler_implicit",
+)
+assert MODEL.n_rows == _N_ROWS
+
+_euler_substep, _mass_entries, _bias, _qfrc_smooth_fn, _ = (
+    build_contact_stepper(MODEL)
 )
 
 
-def _impedance(pos, width):
-    """Cheetah solimp: d0=0 (clamped to mjMINIMP inside planar.impedance),
-    dmax=0.8."""
-    return impedance(pos, d0=0.0, dmax=_DMAX, width=width)
-
-
-def _endpoint_world(q):
-    """World (x, z) of the 16 candidate contact spheres."""
-    ox, oz, th = _frames(q)
-    pts = []
-    for bi, (lx, lz) in _ENDPOINTS:
-        c, s = jnp.cos(th[bi]), jnp.sin(th[bi])
-        pts.append((ox[bi] + c * lx + s * lz, oz[bi] - s * lx + c * lz))
-    return pts, (ox, oz, th)
+# --- thin wrappers keeping the round-1 test surface stable -----------------
+def _qfrc_smooth(q, qv, tau):
+    """Actuation + passive (springs + explicit damping) − bias."""
+    return _qfrc_smooth_fn(q, qv, tau)
 
 
 def _contact_rows(q, qv, zero):
-    """Constraint rows: (J as list of 9 scalars, aref, R, active) per row.
-
-    Rows: 6 joint limits, then per contact [n+μt, n−μt, merged-normal]
-    (see the row-count note above). Jacobians are analytic over the static
-    kinematic chains: for a hinge dof anchored at world (ax, az),
-    ∂p_z/∂θ = −(p_x − ax) and ∂p_x/∂θ = (p_z − az); slides contribute
-    identity entries. Normal rows use the sphere-center x; tangential rows
-    use the CONTACT POINT z = gap/2 (verified against efc_J). `zero` is
-    the caller's structural-zero sentinel: the solver skips J entries that
-    ARE this object, so it must be shared (XLA does not fold float x·0).
-    """
-    rows = []
-    # --- joint limits ---
-    for dof, lo, hi in _LIMITS:
-        d_lo = q[dof] - lo
-        d_hi = hi - q[dof]
-        lower_closer = d_lo < d_hi
-        pos = jnp.where(lower_closer, d_lo, d_hi)
-        sgn = jnp.where(lower_closer, 1.0, -1.0)
-        imp = _impedance(pos, _LIM_WIDTH)
-        aref = -_BC * (sgn * qv[dof]) - _KC * imp * pos
-        r_reg = (1.0 - imp) / imp * _DOF_INVWEIGHT0[dof]
-        j = [zero] * 9
-        j[dof] = sgn
-        rows.append((j, aref, r_reg, pos < 0.0))
-
-    pts, (ox, oz, th) = _endpoint_world(q)
-    for ci, (bi, _local) in enumerate(_ENDPOINTS):
-        px, pz = pts[ci]
-        gap = pz - _RADIUS
-        active = gap < 0.0
-        cpz = 0.5 * gap  # contact point z (midpoint of the gap)
-        # normal and tangent Jacobians over the chain
-        jn = [zero] * 9
-        jt = [zero] * 9
-        jn[1] = jnp.ones_like(q[0])  # rootz
-        jt[0] = jnp.ones_like(q[0])  # rootx
-        for body in _CHAINS[bi]:
-            dof = _BODIES[body][6]
-            ax, az = ox[body], oz[body]
-            jn[dof] = -(px - ax)
-            jt[dof] = cpz - az
-        imp = _impedance(gap, _CON_WIDTH)
-        r_reg = (1.0 - imp) / imp * _BODY_INVWEIGHT0[bi] * _R_FACTOR
-        jv_n = sum(jn[d] * qv[d] for d in range(9) if not (jn[d] is zero))
-        jv_t = sum(jt[d] * qv[d] for d in range(9) if not (jt[d] is zero))
-        base_aref = -_KC * imp * gap
-        # rows n ± μ t (preserve structural-zero identity for sparsity)
-        for sgn in (1.0, -1.0):
-            j = []
-            for d in range(9):
-                if jn[d] is zero and jt[d] is zero:
-                    j.append(zero)
-                elif jn[d] is zero:
-                    j.append(sgn * _MU * jt[d])
-                elif jt[d] is zero:
-                    j.append(jn[d])
-                else:
-                    j.append(jn[d] + sgn * _MU * jt[d])
-            aref = -_BC * (jv_n + sgn * _MU * jv_t) + base_aref
-            rows.append((j, aref, r_reg, active))
-        # merged pure-normal pair: R/2 and doubled force (see note)
-        rows.append((list(jn), -_BC * jv_n + base_aref, 0.5 * r_reg, active))
-    return rows
+    return contact_rows(MODEL, q, qv, zero)
 
 
 def _solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int):
-    """Fixed-iteration active-set/CG solve of the strictly convex box-QP
-    min ½λᵀ(A+R)λ − rhsᵀλ, λ≥0 (A = J M⁻¹ Jᵀ), matrix-free through the
-    static-sparsity J (`zero` is the shared structural-zero sentinel the
-    rows were built with). Returns qfrc_constraint as a 9-tuple."""
-    n = len(rows)
-    assert n == _N_ROWS, (n, _N_ROWS)
-
-    def j_t_apply(lam_rows):
-        """u = Σ_r λ_r J_rᵀ (9 scalars)."""
-        u = [zero] * 9
-        for r, (j, _a, _r, _act) in enumerate(rows):
-            lr = lam_rows[r]
-            for d in range(9):
-                if j[d] is not zero:
-                    u[d] = u[d] + lr * j[d]
-        return u
-
-    def a_apply(lam_rows):
-        """(A λ)_r = J_r M⁻¹ (Jᵀλ)."""
-        u = j_t_apply(lam_rows)
-        w = chol_solve_unrolled(l_chol, u, 9)
-        out = []
-        for j, _a, _r, _act in rows:
-            s = zero
-            for d in range(9):
-                if j[d] is not zero:
-                    s = s + j[d] * w[d]
-            out.append(s)
-        return out
-
-    rhs = []
-    for j, aref, _r, act in rows:
-        s = zero
-        for d in range(9):
-            if j[d] is not zero:
-                s = s + j[d] * a_smooth[d]
-        rhs.append(jnp.where(act, aref - s, 0.0))
-    rhs = jnp.stack(rhs)  # (n, ...) K-minor
-    r_diag = jnp.stack([r[2] for r in rows])
-    valid = jnp.stack([jnp.broadcast_to(r[3], rhs[0].shape) for r in rows])
-
-    def ar_apply(lam):
-        a = a_apply([lam[r] for r in range(n)])
-        return jnp.stack(a) + r_diag * lam
-
-    lam0 = jnp.zeros_like(rhs)
-
-    def outer_body(lam, _):
-        grad = ar_apply(lam) - rhs
-        active = valid & ((lam > 0.0) | (grad < 0.0))
-        x0 = jnp.where(active, lam, 0.0)
-
-        def masked_ar(v):
-            return jnp.where(active, ar_apply(jnp.where(active, v, 0.0)), 0.0)
-
-        r0 = jnp.where(active, rhs - ar_apply(x0), 0.0)
-
-        def cg_body(carry, _):
-            x, r, p, rs = carry
-            ap = masked_ar(p)
-            denom = jnp.sum(p * ap, axis=0)
-            alpha = jnp.where(denom > 1e-30, rs / jnp.maximum(denom, 1e-30), 0.0)
-            x = x + alpha * p
-            r = r - alpha * ap
-            rs_new = jnp.sum(r * r, axis=0)
-            beta = jnp.where(rs > 1e-30, rs_new / jnp.maximum(rs, 1e-30), 0.0)
-            p = r + beta * p
-            return (x, r, p, rs_new), None
-
-        (x, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, r0, r0, jnp.sum(r0 * r0, axis=0)), None, length=cg
-        )
-        return jnp.maximum(jnp.where(active, x, 0.0), 0.0), None
-
-    lam, _ = jax.lax.scan(outer_body, lam0, None, length=outer)
-
-    # qfrc = Jᵀλ (merged normal rows' λ already represents the pair total)
-    return tuple(j_t_apply([lam[r] for r in range(n)]))
-
-
-def _qfrc_smooth(q, qv, tau):
-    """Actuation + passive (springs + explicit damping) − bias."""
-    bias = _bias(q, qv)
-    out = []
-    for d in range(9):
-        s = tau[d] - bias[d] - _DAMPING[d] * qv[d] - _STIFFNESS[d] * q[d]
-        out.append(s)
-    return out
+    assert len(rows) == _N_ROWS, (len(rows), _N_ROWS)
+    return solve_qp(rows, zero, l_chol, a_smooth, outer, cg, 9)
 
 
 def _euler_step(q, qv, tau, outer, cg):
-    m = _mass_entries(q)
-    l = chol_unrolled(m, 9)
-    smooth = _qfrc_smooth(q, qv, tau)
-    a_smooth = chol_solve_unrolled(l, smooth, 9)
-    zero = jnp.zeros_like(q[0])
-    rows = _contact_rows(q, qv, zero)
-    qfrc_c = _solve_qp(rows, zero, l, a_smooth, outer, cg)
-    # implicit damping: (M + h·D) Δv/h = smooth + qfrc_c
-    md = [[m[i][j] for j in range(i + 1)] for i in range(9)]
-    for d in range(9):
-        md[d][d] = md[d][d] + _H * _DAMPING[d]
-    ld = chol_unrolled(md, 9)
-    acc = chol_solve_unrolled(
-        ld, [smooth[d] + qfrc_c[d] for d in range(9)], 9
-    )
-    qv2 = tuple(qv[d] + _H * acc[d] for d in range(9))
-    q2 = tuple(q[d] + _H * qv2[d] for d in range(9))
-    return q2, qv2
+    return _euler_substep(q, qv, tau, outer, cg)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

@@ -249,6 +249,129 @@ def make_kinematics(model: PlanarContactModel):
     return kin, weights, pot
 
 
+def build_ad_dynamics(model: PlanarContactModel):
+    """Energy-AD (jacfwd/jvp) mass/bias via build_planar_dynamics — the
+    round-1 route, kept as the independent cross-check for the analytic
+    forms below (tests pin them equal to ~1e-14)."""
+    kin, weights, pot = make_kinematics(model)
+    return build_planar_dynamics(
+        kin,
+        kin_weights=weights,
+        pot_coeffs=pot,
+        n_dof=model.n_dof,
+        damping=(0.0,) * model.n_dof,
+        armature=model.armature,
+        limits=(),
+        timestep=model.timestep,
+    )
+
+
+def mass_entries_analytic(model: PlanarContactModel, q):
+    """Mass matrix lower triangle from the analytic com Jacobians.
+
+    M_ij = Σ_b m_b J^b_i·J^b_j + Σ_b I_b w_i w_j + armature·δ_ij, where
+    J^b_d = s_d·rot(p_b − a_d) for hinge dofs in body b's chain (rot(v) =
+    (v_z, −v_x)), the identity columns for the root slides, and w_d = s_d
+    on chain hinges (1 for rooty). Identical values to the AD route
+    (build_planar_dynamics' jacfwd — pinned in tests), but ~3x fewer ops,
+    chain-sparsity aware, and free of AD transforms — the form the Pallas
+    rollout kernel traces."""
+    n = model.n_dof
+    ox, oz, th, awx, awz = frames(model, q)
+    chains = model.chains
+    m = [[0.0] * (i + 1) for i in range(n)]
+    for d in range(n):
+        m[d][d] = model.armature[d]
+    for bi, b in enumerate(model.bodies):
+        c, s = jnp.cos(th[bi]), jnp.sin(th[bi])
+        cx, cz = b.com
+        px = ox[bi] + c * cx + s * cz
+        pz = oz[bi] - s * cx + c * cz
+        # com Jacobian columns: dof -> (Jx, Jz); slides first
+        cols = {0: (1.0, 0.0), 1: (0.0, 1.0)}
+        wcols = {}
+        for body in chains[bi]:
+            bb = model.bodies[body]
+            cols[bb.dof] = (
+                bb.sign * (pz - awz[body]),
+                -bb.sign * (px - awx[body]),
+            )
+            wcols[bb.dof] = bb.sign
+        dofs = sorted(cols)
+        for i_idx, di in enumerate(dofs):
+            jxi, jzi = cols[di]
+            for dj in dofs[: i_idx + 1]:
+                jxj, jzj = cols[dj]
+                hi, lo = max(di, dj), min(di, dj)
+                m[hi][lo] = m[hi][lo] + b.mass * (jxi * jxj + jzi * jzj)
+        wd = sorted(wcols)
+        for i_idx, di in enumerate(wd):
+            for dj in wd[: i_idx + 1]:
+                hi, lo = max(di, dj), min(di, dj)
+                m[hi][lo] = m[hi][lo] + b.iyy * wcols[di] * wcols[dj]
+    # promote any remaining python-float zeros to arrays
+    one = jnp.ones_like(q[0])
+    for i in range(n):
+        for j in range(i + 1):
+            m[i][j] = m[i][j] * one
+    return m
+
+
+def bias_analytic(model: PlanarContactModel, q, qv):
+    """Coriolis/centrifugal + gravity generalized forces, analytically.
+
+    Recursive velocity/acceleration propagation down the tree with q̈=0:
+    ȧ_b = ȧ_p + ω_p·rot(a_b − a_p), ä_b = ä_p + ω_p·rot(ȧ_b − ȧ_p),
+    ṗ = ȧ_b + ω_b·rot(p − a_b), p̈ = ä_b + ω_b·rot(ṗ − ȧ_b) (the angles
+    are linear in q, so the angular velocities carry no Coriolis of their
+    own). bias_i = Σ_b m_b J^b_i·p̈_b + g·m_b·(J^b_i)_z. Matches the
+    energy-AD bias of build_planar_dynamics (pinned in tests)."""
+    n = model.n_dof
+    ox, oz, th, awx, awz = frames(model, q)
+    chains = model.chains
+    nb = len(model.bodies)
+    omega = [None] * nb  # total angular velocity per body
+    vax, vaz = [None] * nb, [None] * nb  # anchor velocity
+    aax, aaz = [None] * nb, [None] * nb  # anchor acceleration (q̈=0)
+    zero = jnp.zeros_like(q[0])
+    for bi, b in enumerate(model.bodies):
+        if b.parent == -1:
+            omega[bi] = b.sign * qv[b.dof]
+            vax[bi], vaz[bi] = qv[0], qv[1]
+            aax[bi], aaz[bi] = zero, zero
+        else:
+            p = b.parent
+            omega[bi] = omega[p] + b.sign * qv[b.dof]
+            dx, dz = awx[bi] - awx[p], awz[bi] - awz[p]
+            vax[bi] = vax[p] + omega[p] * dz
+            vaz[bi] = vaz[p] - omega[p] * dx
+            vdx, vdz = vax[bi] - vax[p], vaz[bi] - vaz[p]
+            aax[bi] = aax[p] + omega[p] * vdz
+            aaz[bi] = aaz[p] - omega[p] * vdx
+    out = [zero] * n
+    g = model.gravity
+    for bi, b in enumerate(model.bodies):
+        c, s = jnp.cos(th[bi]), jnp.sin(th[bi])
+        cx, cz = b.com
+        px = ox[bi] + c * cx + s * cz
+        pz = oz[bi] - s * cx + c * cz
+        rx, rz = px - awx[bi], pz - awz[bi]
+        vpx = vax[bi] + omega[bi] * rz
+        vpz = vaz[bi] - omega[bi] * rx
+        apx = aax[bi] + omega[bi] * (vpz - vaz[bi])
+        apz = aaz[bi] - omega[bi] * (vpx - vax[bi])
+        fx = b.mass * apx
+        fz = b.mass * (apz + g)
+        out[0] = out[0] + fx
+        out[1] = out[1] + fz
+        for body in chains[bi]:
+            bb = model.bodies[body]
+            jx = bb.sign * (pz - awz[body])
+            jz = -bb.sign * (px - awx[body])
+            out[bb.dof] = out[bb.dof] + jx * fx + jz * fz
+    return tuple(out)
+
+
 def contact_rows(model: PlanarContactModel, q, qv, zero):
     """Constraint rows: (J as n_dof scalars, aref, R, active) per row.
 
@@ -445,7 +568,7 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
 
     lam0 = jnp.zeros_like(rhs)
 
-    def outer_body(lam, _):
+    def outer_body(_i, lam):
         grad = ar_apply(lam) - rhs
         active = valid & ((lam > 0.0) | (grad < 0.0))
         x0 = jnp.where(active, lam, 0.0)
@@ -455,7 +578,7 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
 
         r0 = jnp.where(active, rhs - ar_apply(x0), 0.0)
 
-        def cg_body(carry, _):
+        def cg_body(_, carry):
             x, r, p, rs = carry
             ap = masked_ar(p)
             denom = jnp.sum(p * ap, axis=0)
@@ -465,10 +588,10 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
             rs_new = jnp.sum(r * r, axis=0)
             beta = jnp.where(rs > 1e-30, rs_new / jnp.maximum(rs, 1e-30), 0.0)
             p = r + beta * p
-            return (x, r, p, rs_new), None
+            return (x, r, p, rs_new)
 
-        (x, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, r0, r0, jnp.sum(r0 * r0, axis=0)), None, length=cg
+        x, _, _, _ = jax.lax.fori_loop(
+            0, cg, cg_body, (x0, r0, r0, jnp.sum(r0 * r0, axis=0))
         )
         # projected ARC search (Bertsekas projected-Newton style): the
         # naive solve-then-project update can CYCLE between wrong active
@@ -496,9 +619,9 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
             take = f_t < best_f
             best_f = jnp.where(take, f_t, best_f)
             best_lam = jnp.where(take, lam_t, best_lam)
-        return best_lam, None
+        return best_lam
 
-    lam, _ = jax.lax.scan(outer_body, lam0, None, length=outer)
+    lam = jax.lax.fori_loop(0, outer, outer_body, lam0)
 
     return tuple(j_t_apply([lam[r] for r in range(n)]))
 
@@ -510,17 +633,12 @@ def build_contact_stepper(model: PlanarContactModel):
     model's integrator; q/qv are n_dof tuples of scalars (vmap makes them
     (K,) vectors), tau the n_dof generalized-force tuple."""
     n = model.n_dof
-    kin, weights, pot = make_kinematics(model)
-    _, mass_entries, bias = build_planar_dynamics(
-        kin,
-        kin_weights=weights,
-        pot_coeffs=pot,
-        n_dof=n,
-        damping=(0.0,) * n,  # damping/springs live in qfrc_smooth
-        armature=model.armature,
-        limits=(),
-        timestep=model.timestep,
-    )
+
+    def mass_entries(q):
+        return mass_entries_analytic(model, q)
+
+    def bias(q, qv):
+        return bias_analytic(model, q, qv)
 
     def qfrc_smooth(q, qv, tau):
         b = bias(q, qv)

@@ -86,8 +86,11 @@ def lw_shrinkage_cov(x: jnp.ndarray) -> jnp.ndarray:
     covariance entries, Ledoit & Wolf 2004). Diagonal is preserved exactly
     since the target matches it there.
     """
-    n = x.shape[0]
     xc = x - jnp.mean(x, axis=0, keepdims=True)
+    return _lw_from_centered(xc, x.shape[0])
+
+
+def _lw_from_centered(xc: jnp.ndarray, n: int) -> jnp.ndarray:
     s = (xc.T @ xc) / n
     # Var̂(S_ij): second moment of products minus S_ij², over n.
     prod_sq = ((xc * xc).T @ (xc * xc)) / n  # E[(x_i x_j)^2]
@@ -112,10 +115,14 @@ def ss_shrinkage_cov(x: jnp.ndarray) -> jnp.ndarray:
     small-sample constants: on standardized data,
     Var̂(r_ij) = n/(n-1)³ Σ_k (w_kij - w̄_ij)², r_ij = n/(n-1) w̄_ij.
     """
-    n, p = x.shape
     xc = x - jnp.mean(x, axis=0, keepdims=True)
+    return _ss_from_centered(xc, x.shape[0])
+
+
+def _ss_from_centered(xc: jnp.ndarray, n: int) -> jnp.ndarray:
+    p = xc.shape[1]
     v = jnp.sum(xc * xc, axis=0) / (n - 1)  # unbiased variances
-    sd = jnp.sqrt(jnp.maximum(v, jnp.finfo(x.dtype).tiny))
+    sd = jnp.sqrt(jnp.maximum(v, jnp.finfo(xc.dtype).tiny))
     xs = xc / sd[None, :]
     wbar = (xs.T @ xs) / n  # mean of w_kij
     r = (n / (n - 1)) * wbar
@@ -124,47 +131,52 @@ def ss_shrinkage_cov(x: jnp.ndarray) -> jnp.ndarray:
     var_r = (n / (n - 1) ** 3) * (sum_w2 - n * wbar * wbar)
     num = _offdiag_sum(var_r)
     den = _offdiag_sum_sq(r)
-    lam = jnp.clip(num / jnp.maximum(den, jnp.finfo(x.dtype).tiny), 0.0, 1.0)
+    lam = jnp.clip(num / jnp.maximum(den, jnp.finfo(xc.dtype).tiny), 0.0, 1.0)
     r_shrunk = (1.0 - lam) * r
     # restore diagonal to 1 and rescale to covariances; variances use the
     # uncorrected MLE scale to stay consistent with the other estimators.
-    r_shrunk = r_shrunk - jnp.diag(jnp.diag(r_shrunk)) + jnp.eye(p, dtype=x.dtype)
+    r_shrunk = r_shrunk - jnp.diag(jnp.diag(r_shrunk)) + jnp.eye(p, dtype=xc.dtype)
     v_mle = jnp.sum(xc * xc, axis=0) / n
-    sd_mle = jnp.sqrt(jnp.maximum(v_mle, jnp.finfo(x.dtype).tiny))
+    sd_mle = jnp.sqrt(jnp.maximum(v_mle, jnp.finfo(xc.dtype).tiny))
     return r_shrunk * sd_mle[:, None] * sd_mle[None, :]
 
 
 def _common_variance_shrink(x: jnp.ndarray, rho_fn) -> jnp.ndarray:
-    n, p = x.shape
-    s = sample_cov(x, corrected=False)
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    return _common_variance_from_centered(xc, x.shape[0], rho_fn)
+
+
+def _common_variance_from_centered(xc: jnp.ndarray, n: int, rho_fn) -> jnp.ndarray:
+    p = xc.shape[1]
+    s = (xc.T @ xc) / n
     tr_s = jnp.trace(s)
     tr_s2 = jnp.sum(s * s)  # tr(S²) for symmetric S
-    f = (tr_s / p) * jnp.eye(p, dtype=x.dtype)
+    f = (tr_s / p) * jnp.eye(p, dtype=xc.dtype)
     rho = jnp.clip(rho_fn(n, p, tr_s, tr_s2), 0.0, 1.0)
     return (1.0 - rho) * s + rho * f
+
+
+def _rho_rblw(n, p, tr_s, tr_s2):
+    num = ((n - 2.0) / n) * tr_s2 + tr_s**2
+    den = (n + 2.0) * (tr_s2 - tr_s**2 / p)
+    return num / jnp.maximum(den, jnp.finfo(tr_s.dtype).tiny)
+
+
+def _rho_oas(n, p, tr_s, tr_s2):
+    num = (1.0 - 2.0 / p) * tr_s2 + tr_s**2
+    den = (n + 1.0 - 2.0 / p) * (tr_s2 - tr_s**2 / p)
+    return num / jnp.maximum(den, jnp.finfo(tr_s.dtype).tiny)
 
 
 def rblw_shrinkage_cov(x: jnp.ndarray) -> jnp.ndarray:
     """Rao-Blackwellized Ledoit-Wolf (Chen et al. 2009, eq. 17),
     diagonal-common-variance target tr(S)/p · I."""
-
-    def rho(n, p, tr_s, tr_s2):
-        num = ((n - 2.0) / n) * tr_s2 + tr_s**2
-        den = (n + 2.0) * (tr_s2 - tr_s**2 / p)
-        return num / jnp.maximum(den, jnp.finfo(tr_s.dtype).tiny)
-
-    return _common_variance_shrink(x, rho)
+    return _common_variance_shrink(x, _rho_rblw)
 
 
 def oas_shrinkage_cov(x: jnp.ndarray) -> jnp.ndarray:
     """Oracle-Approximating Shrinkage (Chen et al. 2009, eq. 23)."""
-
-    def rho(n, p, tr_s, tr_s2):
-        num = (1.0 - 2.0 / p) * tr_s2 + tr_s**2
-        den = (n + 1.0 - 2.0 / p) * (tr_s2 - tr_s**2 / p)
-        return num / jnp.maximum(den, jnp.finfo(tr_s.dtype).tiny)
-
-    return _common_variance_shrink(x, rho)
+    return _common_variance_shrink(x, _rho_oas)
 
 
 _ESTIMATORS = {
@@ -184,3 +196,37 @@ def shrinkage_cov(x: jnp.ndarray, method: str = "mle") -> jnp.ndarray:
         raise ValueError(
             f"unknown Σ estimation method {method!r}; options: {sorted(_ESTIMATORS)}"
         ) from None
+
+
+_MASKED_ESTIMATORS = {
+    "mle": lambda xc, n: (xc.T @ xc) / n,
+    "lw": _lw_from_centered,
+    "ss": _ss_from_centered,
+    "rblw": lambda xc, n: _common_variance_from_centered(xc, n, _rho_rblw),
+    "oas": lambda xc, n: _common_variance_from_centered(xc, n, _rho_oas),
+}
+
+
+def shrinkage_cov_masked(
+    e: jnp.ndarray, mask: jnp.ndarray, m: int, method: str = "mle"
+) -> jnp.ndarray:
+    """shrinkage_cov over the masked COLUMNS of e (d, K) without the
+    gather: `mask` (K,) selects exactly `m` columns (0/1 in e's dtype).
+
+    Algebraically identical to shrinkage_cov(e[:, idx].T, method) — the
+    masked columns are centered then zeroed, so every sample sum in the
+    estimators (all matmuls/elementwise-square matmuls over the sample
+    axis) picks up only the selected columns. Keeps the elite refit
+    K-dense and MXU-shaped instead of paying a (d, m) gather per AIS
+    iteration (the TPU gather was ~2x the cost of a full sort of K).
+    """
+    try:
+        est = _MASKED_ESTIMATORS[method]
+    except KeyError:
+        raise ValueError(
+            f"unknown Σ estimation method {method!r}; options: "
+            f"{sorted(_MASKED_ESTIMATORS)}"
+        ) from None
+    mu = (e @ mask) / m
+    xc = ((e - mu[:, None]) * mask[None, :]).T  # (K, d), zeros off-mask
+    return est(xc, m)

@@ -78,6 +78,11 @@ class PolicyConfig:
     # bind in the stable regime; set False for raw reference semantics
     # (safe in f64, can overflow to NaN in f32 with cma_rank_mu_quirk).
     cma_stability_guards: bool = True
+    # Compute CMA's C = Σ^{-1/2} by a matmul-only Newton-Schulz iteration
+    # (MXU work) with a runtime lax.cond fallback to eigh when the
+    # iteration has not converged (ill-conditioned or indefinite Σ).
+    # Default False: parity semantics keep the eigendecomposition.
+    cma_fast_sqrt: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "kind", canonical_kind(self.kind))

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mpopis_tpu.kernels.linalg import forward_solve
 from mpopis_tpu.models.base import Env, EnvState, make_state
 from mpopis_tpu.models.rollout import rollout_batch
 from mpopis_tpu.ops.controls import roll_controls
@@ -251,7 +252,7 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
         env, cfg, sample_sharding, force_generic=fused_handled
     )
 
-    def compute_costs(env_state, u_cur, e, chol, u_orig):
+    def compute_costs(env_state, u_cur, e, chol, u_orig, z_n):
         v = u_cur[:, None] + e  # (cs, K), unclamped candidates
         if use_fused:
             # clamp in flat layout; (cs,K) -> (T,na,K) is a free reshape, so
@@ -270,8 +271,12 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
         if gamma != 0.0:
             # γ·U_origᵀ Σ⁻¹ (V_k − U_orig) with the *current* sampling Σ
             # (ref :249, :272; Σ_inv = invcov of this iteration's P).
-            z = jax.scipy.linalg.cho_solve((chol, True), u_orig)
-            base = base + gamma * ((v - u_orig[:, None]).T @ z)
+            # With V − U_orig = d + L·z (d = U_cur − U_orig, e = L·z) and
+            # y₀ = L⁻¹U_orig, the term is γ·(y₁ᵀy₀ + zᵀy₀), y₁ = L⁻¹d —
+            # two forward substitutions (Pallas kernel on TPU) instead of
+            # XLA's full cho_solve, and the per-sample part is one matvec.
+            ys = forward_solve(chol, jnp.stack([u_orig, u_cur - u_orig]))
+            base = base + gamma * (jnp.dot(ys[1], ys[0]) + z_n.T @ ys[0])
         return base, trajs
 
     chol0 = jnp.linalg.cholesky(sigma0_j)
@@ -308,7 +313,9 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
             else:
                 z_n = z[n]
             e = carry.chol @ z_n
-            costs, trajs = compute_costs(env_state, carry.U, e, carry.chol, u_orig)
+            costs, trajs = compute_costs(
+                env_state, carry.U, e, carry.chol, u_orig, z_n
+            )
             base = carry.replace(E=e, costs=costs, trajs=trajs)
             new, stop = strategy.update(base, k_strat, u_orig, n + 1)
             is_last = n == n_its - 1

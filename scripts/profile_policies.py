@@ -18,10 +18,11 @@ from mpopis_tpu.policies import PolicyConfig, make_policy
 K, H = 8192, 50
 
 
-def measure(kind: str, opt_its: int) -> float:
+def measure(kind: str, opt_its: int, **cfg_kw) -> float:
     env = CarRacingEnv(dtype=jnp.float32)
     cfg = PolicyConfig(kind=kind, num_samples=K, horizon=H, lam=10.0,
-                       opt_its=opt_its, ce_elite_threshold=0.8, sigma_est="ss")
+                       opt_its=opt_its, ce_elite_threshold=0.8, sigma_est="ss",
+                       **cfg_kw)
     pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
 
     @jax.jit
@@ -45,11 +46,16 @@ def measure(kind: str, opt_its: int) -> float:
 
 
 def main():
-    for kind, its in [("mppi", 1), ("gmppi", 1), ("imppi", 10),
-                      ("cemppi", 10), ("cmamppi", 10), ("muaismppi", 10),
-                      ("musigmaaismppi", 10), ("pmcmppi", 10), ("nesmppi", 10)]:
-        dt = measure(kind, its)
-        print(f"{kind:16s} its={its:2d}  {dt*1e3:7.2f} ms/step  "
+    for kind, its, kw in [
+        ("mppi", 1, {}), ("gmppi", 1, {}), ("imppi", 10, {}),
+        ("cemppi", 10, {}), ("cmamppi", 10, {}),
+        ("cmamppi", 10, {"cma_fast_sqrt": True}),
+        ("muaismppi", 10, {}), ("musigmaaismppi", 10, {}),
+        ("pmcmppi", 10, {}), ("nesmppi", 10, {}),
+    ]:
+        dt = measure(kind, its, **kw)
+        tag = kind + ("+fast_sqrt" if kw.get("cma_fast_sqrt") else "")
+        print(f"{tag:22s} its={its:2d}  {dt*1e3:7.2f} ms/step  "
               f"{1/dt:7.1f} steps/s", flush=True)
 
 

@@ -56,3 +56,36 @@ def test_multicar_kernel_matches_vmap_oracle():
     np.testing.assert_allclose(
         np.asarray(kern), np.asarray(oracle), rtol=2e-4, atol=2e-2
     )
+
+
+def test_cholesky_kernel_matches_oracle():
+    """Pallas single-program Cholesky (interpret mode) vs jnp.linalg."""
+    from mpopis_tpu.kernels.linalg import _chol_pallas
+
+    rng = np.random.default_rng(3)
+    for n in (4, 100):
+        a = rng.normal(size=(n, n)).astype(np.float32) * 0.2
+        spd = (a @ a.T + np.eye(n, dtype=np.float32)).astype(np.float32)
+        l = np.asarray(_chol_pallas(jnp.asarray(spd), interpret=True))
+        ref = np.linalg.cholesky(spd.astype(np.float64))
+        np.testing.assert_allclose(l, ref, rtol=5e-5, atol=5e-6)
+        # strictly lower-triangular output (upper must be exactly zero)
+        assert np.all(l[np.triu_indices(n, 1)] == 0.0)
+
+
+def test_forward_solve_kernel_matches_oracle():
+    from mpopis_tpu.kernels.linalg import _chol_pallas, _fwd_solve_pallas
+
+    rng = np.random.default_rng(4)
+    n = 100
+    a = rng.normal(size=(n, n)).astype(np.float32) * 0.2
+    spd = (a @ a.T + np.eye(n, dtype=np.float32)).astype(np.float32)
+    l = _chol_pallas(jnp.asarray(spd), interpret=True)
+    b = rng.normal(size=(2, n)).astype(np.float32)
+    y = np.asarray(_fwd_solve_pallas(l, jnp.asarray(b), interpret=True))
+    import scipy.linalg
+
+    ref = scipy.linalg.solve_triangular(
+        np.asarray(l).astype(np.float64), b.T.astype(np.float64), lower=True
+    ).T
+    np.testing.assert_allclose(y, ref, rtol=5e-5, atol=5e-6)

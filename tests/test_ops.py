@@ -165,3 +165,44 @@ def test_multinomial_counts_equal_indices_bucketing():
     counts_ref = np.bincount(idx, minlength=64).astype(float)
     counts = np.asarray(multinomial_resample_counts(key, w, 64))
     np.testing.assert_array_equal(counts, counts_ref)
+
+
+def test_masked_shrinkage_matches_gathered():
+    """shrinkage_cov_masked over 0/1-masked columns == shrinkage_cov of the
+    gathered elite matrix, for every estimator."""
+    from mpopis_tpu.ops.covariance import shrinkage_cov, shrinkage_cov_masked
+
+    rng = np.random.default_rng(9)
+    d, k, m = 7, 40, 12
+    e = jnp.asarray(rng.normal(size=(d, k)))
+    idx = rng.choice(k, size=m, replace=False)
+    mask = np.zeros(k)
+    mask[idx] = 1.0
+    for method in ("mle", "lw", "ss", "rblw", "oas"):
+        ref = shrinkage_cov(e[:, np.sort(idx)].T, method)
+        got = shrinkage_cov_masked(e, jnp.asarray(mask), m, method)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_newton_schulz_inv_sqrt():
+    """The CMA fast-sqrt iteration matches the eigendecomposition Σ^-1/2
+    on a well-conditioned matrix, and its error signal fires on an
+    indefinite one (triggering the eigh fallback)."""
+    from mpopis_tpu.policies.strategies import (
+        _eigh_inv_sqrt,
+        _inv_sqrt_newton_schulz,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(20, 20)) * 0.3
+    spd = jnp.asarray(a @ a.T + np.eye(20))
+    c_ns, err = _inv_sqrt_newton_schulz(spd)
+    assert float(err) < 1e-6
+    c_ref = _eigh_inv_sqrt(spd, False, jnp.float64)
+    np.testing.assert_allclose(np.asarray(c_ns), np.asarray(c_ref),
+                               rtol=1e-6, atol=1e-8)
+    indef = spd - 3.0 * jnp.eye(20)
+    _, err2 = _inv_sqrt_newton_schulz(indef)
+    assert not (float(err2) < 1e-3) or not np.isfinite(float(err2))

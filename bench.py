@@ -121,6 +121,44 @@ def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15,
     return num_samples * horizon * 3 / per_step  # env-steps/s
 
 
+def bench_cheetah_on_device(num_samples: int = 2048, horizon: int = 15,
+                            n_short: int = 3, n_long: int = 13) -> float:
+    """On-device HalfCheetah env-steps/s through the fused planar-contact
+    Pallas rollout kernel (contact QP per substep inside the kernel;
+    control-grade warm-start solver defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import CheetahDeviceEnv
+
+    env = CheetahDeviceEnv(dtype=jnp.float32)
+    if not env.supports_fused_rollout:
+        raise RuntimeError("fused rollout unsupported on this backend")
+    rng = np.random.default_rng(0)
+    ctrl0 = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (horizon, env.action_dim, num_samples)),
+        dtype=jnp.float32,
+    )
+    s0 = env.reset()
+
+    @jax.jit
+    def chain(c):
+        costs = env.fused_rollout_costs_tak(s0, c)
+        return c + costs[None, None, :] * 1e-12  # serialize the chain
+
+    def run(n: int) -> float:
+        c = ctrl0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = chain(c)
+        np.asarray(c)
+        return time.perf_counter() - t0
+
+    run(1)
+    per_call = _slope(run, n_short, n_long)
+    return num_samples * horizon / per_call
+
+
 def main() -> None:
     sps_8192 = bench_car_racing(8192)
     sps_150 = bench_car_racing(150)
@@ -135,6 +173,12 @@ def main() -> None:
         )
     except Exception as exc:  # mujoco-free images: skip the extra detail
         details["reacher_on_device_env_steps_per_s"] = f"skipped: {exc}"
+    try:
+        details["cheetah_on_device_env_steps_per_s"] = round(
+            bench_cheetah_on_device(), 0
+        )
+    except Exception as exc:
+        details["cheetah_on_device_env_steps_per_s"] = f"skipped: {exc}"
     try:
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
         # violation bookkeeping included); trial 2 excludes compiles

@@ -158,7 +158,8 @@ def _solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int):
 
 
 def _euler_step(q, qv, tau, outer, cg):
-    return _euler_substep(q, qv, tau, outer, cg)
+    q2, qv2, _lam = _euler_substep(q, qv, tau, outer, cg)
+    return q2, qv2
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -167,14 +168,16 @@ class CheetahDeviceEnv(Env):
 
     State x = [qpos(9), qvel(9)]; action = 6 joint torques ∈ [−1, 1]
     scaled by the per-joint gears. solver_outer/solver_cg set the fixed
-    iteration counts of the contact QP solve: the defaults (3, 16) are
-    control-grade (contact forces to ~1e-3 — ample for sampling-based
-    control); (6, 40) matches mj_step to solver tolerance even on
+    iteration counts of the contact QP solve: the defaults (3, 6) are
+    control-grade (the λ warm-start across the frame-skip substeps makes
+    them match the converged solve to ~1e-3 worst-case on realistic
+    trajectories); (6, 40) matches mj_step to solver tolerance even on
     deep-contact states (the parity tests use that setting).
     """
 
     solver_outer: int = 3
-    solver_cg: int = 16
+    solver_cg: int = 6
+    fused_interpret: bool = False
 
     state_dim = 18
     action_dim = 6
@@ -184,6 +187,32 @@ class CheetahDeviceEnv(Env):
     @property
     def dt(self) -> float:
         return _H * _FRAME_SKIP
+
+    # --- fused Pallas rollout (kernels/planar_step.py) ------------------
+    @property
+    def supports_fused_rollout(self) -> bool:
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
+        )
+
+    def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
+        """(T, 6, K) clamped controls → (K,) costs; whole rollout incl.
+        the contact QP in one Pallas program per K-block."""
+        from mpopis_tpu.kernels.planar_step import planar_rollout_costs_tak
+
+        return planar_rollout_costs_tak(
+            MODEL, state.x, controls_tak,
+            frame_skip=_FRAME_SKIP, outer=self.solver_outer,
+            cg=self.solver_cg, gear=_GEAR, healthy=0.0, ctrl_w=0.1,
+            interpret=self.fused_interpret,
+        )
+
+    def fused_rollout_costs(self, state, controls: jnp.ndarray):
+        """Same with (K, T, 6) controls."""
+        return self.fused_rollout_costs_tak(
+            state, jnp.transpose(controls, (1, 2, 0))
+        )
 
     def reset(self, key: jax.Array | None = None) -> EnvState:
         return make_state(jnp.zeros((18,), dtype=self.dtype))
@@ -196,12 +225,18 @@ class CheetahDeviceEnv(Env):
         )
         q = tuple(state.x[i] for i in range(9))
         qv = tuple(state.x[9 + i] for i in range(9))
+        # λ warm-starts chain across the frame-skip substeps (contact
+        # forces are continuous in time); reset at control-step boundaries
+        lam = jnp.zeros((MODEL.n_rows,) + jnp.shape(state.x[0]),
+                        dtype=state.x.dtype)
 
         def sub(carry, _):
-            qq, vv = carry
-            return _euler_step(qq, vv, tau, self.solver_outer, self.solver_cg), None
+            qq, vv, ll = carry
+            return _euler_substep(
+                qq, vv, tau, self.solver_outer, self.solver_cg, ll
+            ), None
 
-        (q, qv), _ = jax.lax.scan(sub, (q, qv), None, length=_FRAME_SKIP)
+        (q, qv, _), _ = jax.lax.scan(sub, (q, qv, lam), None, length=_FRAME_SKIP)
         x = jnp.stack(q + qv).astype(self.dtype)
         return EnvState(x=x, t=state.t + 1, done=state.done)
 

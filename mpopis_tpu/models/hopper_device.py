@@ -153,12 +153,14 @@ class HopperDeviceEnv(Env):
 
     State x = [qpos(6), qvel(6)]; action = 3 joint torques ∈ [−1, 1]
     scaled by gear 200. solver_outer/solver_cg as in CheetahDeviceEnv:
-    (3, 16) is control-grade, (6, 40) mj_step-parity grade (RK4 runs the
-    QP at each of the 4 stages, so Hopper pays 4 solves per substep).
+    (3, 6) is control-grade (λ warm-starts chain across the RK4 stages
+    and substeps — ~1e-10 from the converged solve on realistic
+    trajectories), (6, 40) mj_step-parity grade.
     """
 
     solver_outer: int = 3
-    solver_cg: int = 16
+    solver_cg: int = 6
+    fused_interpret: bool = False
 
     state_dim = 12
     action_dim = 3
@@ -168,6 +170,28 @@ class HopperDeviceEnv(Env):
     @property
     def dt(self) -> float:
         return _H * _FRAME_SKIP
+
+    @property
+    def supports_fused_rollout(self) -> bool:
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
+        )
+
+    def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
+        from mpopis_tpu.kernels.planar_step import planar_rollout_costs_tak
+
+        return planar_rollout_costs_tak(
+            MODEL, state.x, controls_tak,
+            frame_skip=_FRAME_SKIP, outer=self.solver_outer,
+            cg=self.solver_cg, gear=_GEAR, healthy=1.0, ctrl_w=1e-3,
+            interpret=self.fused_interpret,
+        )
+
+    def fused_rollout_costs(self, state, controls: jnp.ndarray):
+        return self.fused_rollout_costs_tak(
+            state, jnp.transpose(controls, (1, 2, 0))
+        )
 
     def reset(self, key: jax.Array | None = None) -> EnvState:
         x = jnp.concatenate([
@@ -184,12 +208,16 @@ class HopperDeviceEnv(Env):
         )
         q = tuple(state.x[i] for i in range(6))
         qv = tuple(state.x[6 + i] for i in range(6))
+        lam = jnp.zeros((MODEL.n_rows,) + jnp.shape(state.x[0]),
+                        dtype=state.x.dtype)
 
         def sub(carry, _):
-            qq, vv = carry
-            return _substep(qq, vv, tau, self.solver_outer, self.solver_cg), None
+            qq, vv, ll = carry
+            return _substep(
+                qq, vv, tau, self.solver_outer, self.solver_cg, ll
+            ), None
 
-        (q, qv), _ = jax.lax.scan(sub, (q, qv), None, length=_FRAME_SKIP)
+        (q, qv, _), _ = jax.lax.scan(sub, (q, qv, lam), None, length=_FRAME_SKIP)
         x = jnp.stack(q + qv).astype(self.dtype)
         return EnvState(x=x, t=state.t + 1, done=state.done)
 

@@ -521,13 +521,22 @@ def contact_rows(model: PlanarContactModel, q, qv, zero):
     return rows
 
 
-def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
+def solve_qp(
+    rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int,
+    lam0=None, return_lam: bool = False,
+):
     """Fixed-iteration active-set/CG solve of the strictly convex box-QP
     min ½λᵀ(A+R)λ − rhsᵀλ, λ≥0 (A = J M⁻¹ Jᵀ), matrix-free through the
     static-sparsity J (`zero` is the shared structural-zero sentinel the
     rows were built with). Returns qfrc_constraint as an n_dof tuple.
     Matches MuJoCo's Newton optimum to machine precision at (6, 40) on
-    realistic trajectories (round-1 measurement, docs/ROADMAP.md)."""
+    realistic trajectories (round-1 measurement, docs/ROADMAP.md).
+
+    `lam0` ((n_rows,) + sample shape) WARM-STARTS the solve from the
+    previous substep's multipliers (contact forces are continuous in
+    time, so the active set and magnitudes carry over — measured: warm
+    (2,8) matches cold (3,16) accuracy at ~2x less work). Rows invalid
+    at THIS state are zeroed on entry so stale forces can't leak."""
     n = len(rows)
 
     def j_t_apply(lam_rows):
@@ -566,7 +575,10 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
         a = a_apply([lam[r] for r in range(n)])
         return jnp.stack(a) + r_diag * lam
 
-    lam0 = jnp.zeros_like(rhs)
+    if lam0 is None:
+        lam0 = jnp.zeros_like(rhs)
+    else:
+        lam0 = jnp.where(valid, lam0, 0.0)
 
     def outer_body(_i, lam):
         grad = ar_apply(lam) - rhs
@@ -623,7 +635,10 @@ def solve_qp(rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int):
 
     lam = jax.lax.fori_loop(0, outer, outer_body, lam0)
 
-    return tuple(j_t_apply([lam[r] for r in range(n)]))
+    qfrc = tuple(j_t_apply([lam[r] for r in range(n)]))
+    if return_lam:
+        return qfrc, lam
+    return qfrc
 
 
 def build_contact_stepper(model: PlanarContactModel):
@@ -648,29 +663,39 @@ def build_contact_stepper(model: PlanarContactModel):
             for d in range(n)
         ]
 
-    def qacc_constrained(q, qv, tau, outer, cg):
-        """Full constrained forward dynamics (one mj_forward)."""
+    def qacc_warm(q, qv, tau, outer, cg, lam0):
+        """Full constrained forward dynamics (one mj_forward), warm-
+        startable; returns (acc tuple, λ)."""
         m = mass_entries(q)
         l = chol_unrolled(m, n)
         smooth = qfrc_smooth(q, qv, tau)
         a_smooth = chol_solve_unrolled(l, smooth, n)
         zero = jnp.zeros_like(q[0])
         rows = contact_rows(model, q, qv, zero)
-        qfrc_c = solve_qp(rows, zero, l, a_smooth, outer, cg, n)
-        return chol_solve_unrolled(
+        qfrc_c, lam = solve_qp(
+            rows, zero, l, a_smooth, outer, cg, n, lam0=lam0, return_lam=True
+        )
+        acc = chol_solve_unrolled(
             l, [smooth[d] + qfrc_c[d] for d in range(n)], n
         )
+        return acc, lam
+
+    def qacc_constrained(q, qv, tau, outer, cg):
+        """Cold-start constrained forward dynamics (acc tuple only)."""
+        return qacc_warm(q, qv, tau, outer, cg, None)[0]
 
     h = model.timestep
 
-    def euler_implicit_substep(q, qv, tau, outer, cg):
+    def euler_implicit_substep(q, qv, tau, outer, cg, lam0=None):
         m = mass_entries(q)
         l = chol_unrolled(m, n)
         smooth = qfrc_smooth(q, qv, tau)
         a_smooth = chol_solve_unrolled(l, smooth, n)
         zero = jnp.zeros_like(q[0])
         rows = contact_rows(model, q, qv, zero)
-        qfrc_c = solve_qp(rows, zero, l, a_smooth, outer, cg, n)
+        qfrc_c, lam = solve_qp(
+            rows, zero, l, a_smooth, outer, cg, n, lam0=lam0, return_lam=True
+        )
         # implicit damping: (M + h·D) Δv/h = smooth + qfrc_c (λ was solved
         # against the UNDAMPED M — probed round 1)
         md = [[m[i][j] for j in range(i + 1)] for i in range(n)]
@@ -682,25 +707,26 @@ def build_contact_stepper(model: PlanarContactModel):
         )
         qv2 = tuple(qv[d] + h * acc[d] for d in range(n))
         q2 = tuple(q[d] + h * qv2[d] for d in range(n))
-        return q2, qv2
+        return q2, qv2, lam
 
-    def rk4_substep(q, qv, tau, outer, cg):
+    def rk4_substep(q, qv, tau, outer, cg, lam0=None):
         """mj_RungeKutta: the constrained dynamics (contact QP included)
-        is evaluated at each of the 4 stages."""
+        is evaluated at each of the 4 stages; λ warm-starts chain through
+        the stages (the stage states differ by O(h))."""
 
         def add(a, b, hh):
             return tuple(x + hh * y for x, y in zip(a, b))
 
-        k1v = qacc_constrained(q, qv, tau, outer, cg)
+        k1v, lam = qacc_warm(q, qv, tau, outer, cg, lam0)
         k1q = qv
         q2, v2 = add(q, k1q, 0.5 * h), add(qv, k1v, 0.5 * h)
-        k2v = qacc_constrained(q2, v2, tau, outer, cg)
+        k2v, lam = qacc_warm(q2, v2, tau, outer, cg, lam)
         k2q = v2
         q3, v3 = add(q, k2q, 0.5 * h), add(qv, k2v, 0.5 * h)
-        k3v = qacc_constrained(q3, v3, tau, outer, cg)
+        k3v, lam = qacc_warm(q3, v3, tau, outer, cg, lam)
         k3q = v3
         q4, v4 = add(q, k3q, h), add(qv, k3v, h)
-        k4v = qacc_constrained(q4, v4, tau, outer, cg)
+        k4v, lam = qacc_warm(q4, v4, tau, outer, cg, lam)
         k4q = v4
         qn = tuple(
             a + (h / 6.0) * (b + 2.0 * c + 2.0 * d + e)
@@ -710,7 +736,7 @@ def build_contact_stepper(model: PlanarContactModel):
             a + (h / 6.0) * (b + 2.0 * c + 2.0 * d + e)
             for a, b, c, d, e in zip(qv, k1v, k2v, k3v, k4v)
         )
-        return qn, vn
+        return qn, vn, lam
 
     substep = (
         euler_implicit_substep

@@ -154,7 +154,6 @@ def main(argv=None) -> int:
             import warnings
 
             for flag, name in ((args.frame_skip is not None, "--frame-skip"),
-                               (args.output_acts_file, "--output-acts-file"),
                                (args.no_native, "--no-native")):
                 if flag:
                     warnings.warn(
@@ -171,6 +170,7 @@ def main(argv=None) -> int:
                 args.env_name,
                 steps_per_call=args.steps_per_call,
                 solver_iters=solver_iters,
+                output_acts_file=args.output_acts_file,
                 **common,
             )
             return 0

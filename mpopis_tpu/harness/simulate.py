@@ -146,6 +146,8 @@ def _simulate_simple(
     gif_name=None,
     print_output=True,
     steps_per_call=None,
+    output_acts_file=False,
+    acts_dir="acts",
 ):
     if seed is None:
         seed = _default_seed()
@@ -178,13 +180,16 @@ def _simulate_simple(
     @jax.jit
     def fused_chunk(s, ps):
         """`chunk` control steps in one device program; emits per-step
-        [reward, done] rows so the host transfers once per chunk.
+        [reward, done, act...] rows so the host transfers once per chunk.
         env.step_reward keeps totals gym-exact for pre-step-reward envs."""
         def body(carry, _):
             s, ps = carry
             act, ps2, _ = pol.step(s, ps)
             s2, r = env.step_reward(s, act)
-            row = jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)])
+            row = jnp.concatenate([
+                jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)]),
+                act.astype(env.dtype),
+            ])
             return (s2, ps2), row
         (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
         return s2, ps2, rows
@@ -197,21 +202,26 @@ def _simulate_simple(
         s = env.reset(jax.random.PRNGKey(seed + k))
         t0 = time.perf_counter()
         rew, cnt, done = 0.0, 0, False
+        acts: list[np.ndarray] = []
         while not done and cnt <= num_steps:
             if chunk > 1:
                 s, ps, rows_d = fused_chunk(s, ps)
-                for r_step, d_step in np.asarray(rows_d):
+                for row in np.asarray(rows_d):
                     if done or cnt > num_steps:
                         break
                     cnt += 1
-                    rew += float(r_step)
-                    done = bool(d_step)
+                    rew += float(row[0])
+                    done = bool(row[1])
+                    if output_acts_file:
+                        acts.append(row[2:].astype(np.float64))
                 continue
             act, ps, _ = pol.step(s, ps)
             s, r_step = env.step_reward(s, act)
             rew += float(r_step)
             cnt += 1
             done = bool(s.done)
+            if output_acts_file:
+                acts.append(np.asarray(act, dtype=np.float64))
             if frames is not None:
                 from mpopis_tpu.harness import plotting
 
@@ -226,6 +236,23 @@ def _simulate_simple(
         rews[k - 1] = rew
         steps[k - 1] = cnt - 1
         exec_times[k - 1] = dt
+        if output_acts_file and acts:
+            # executed-action CSV at 20 decimals, the reference's
+            # write_acts_to_file format (envpool_env.jl:184-197) — feeds
+            # scripts/replay_mujoco.py for the gymnasium replay check
+            import os
+
+            os.makedirs(acts_dir, exist_ok=True)
+            fname = os.path.join(
+                acts_dir,
+                f"{sim_type.replace(' ', '')}_{policy_type}_{num_steps}"
+                f"_{num_trials}_{seed}_{horizon}_{num_samples}_{ais_its}"
+                f"trial-{k}.csv",
+            )
+            with open(fname, "w") as f:
+                for a in acts:
+                    f.write(",".join(f"{v:.20f}" for v in a) + "\n")
+            _print(print_output, "Wrote acts...%s", fname)
         if log_runs:
             _print(
                 print_output, "Trial %4d: %12.2f : %7d: %12.2f : %7.2f",
@@ -282,11 +309,15 @@ ON_DEVICE_MUJOCO_TASKS = (
 def simulate_mujoco_on_device(task: str, **kwargs):
     """MuJoCo task with ON-DEVICE dynamics (no host engine): the K×T
     rollout fan-out runs on the TPU like the car models. Available for the
-    contact-free tasks with closed-form dynamics AND HalfCheetah with the
-    full contact pipeline (models/cheetah_device.py). Contact-free tasks
-    match mj_step to solver tolerance; contact tasks default to
-    control-grade solver iterations (forces ~1e-3) — pass
-    solver_iters=(6, 40) for mj_step-parity-grade trajectories."""
+    contact-free tasks with closed-form dynamics AND the
+    HalfCheetah/Hopper/Walker2d contact pipeline (models/planar_contact.py,
+    fused Pallas rollouts on TPU). Contact-free tasks match mj_step to
+    solver tolerance; contact tasks default to control-grade solver
+    iterations — pass solver_iters=(6, 40) for mj_step-parity-grade
+    trajectories. `output_acts_file=True` exports the executed action
+    sequence per trial as a 20-decimal CSV (the reference's
+    write_acts_to_file format, envpool_env.jl:184-197) for the
+    scripts/replay_mujoco.py gymnasium replay cross-check."""
     import jax.numpy as jnp
 
     from mpopis_tpu.models import (

@@ -154,3 +154,45 @@ def test_simulate_mujoco_on_device_smoke():
     with pytest.raises(ValueError):
         # solver_iters only applies to envs with a contact solver
         simulate_mujoco_on_device("Reacher-v4", solver_iters=(6, 40))
+
+
+def test_on_device_acts_export_and_replay(tmp_path, monkeypatch):
+    """The on-device driver's executed-action CSV replays in vanilla
+    gymnasium to the same total reward — the reference's de-facto
+    cross-implementation check (envpool_env.jl:184-197 +
+    make_mujoco_gif.py), now closed for the on-device path."""
+    pytest.importorskip("mujoco")
+    pytest.importorskip("gymnasium")
+    import glob
+    import os
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    from mpopis_tpu.harness.simulate import simulate_mujoco_on_device
+
+    metrics = simulate_mujoco_on_device(
+        "HalfCheetah-v4",
+        num_trials=1,
+        num_steps=10,
+        num_samples=16,
+        horizon=8,
+        ais_its=2,
+        lam=1.0,
+        seed=3,
+        print_output=False,
+        dtype=jnp.float64,
+        solver_iters=(6, 40),  # parity-grade so the replay matches tightly
+        output_acts_file=True,
+    )
+    csvs = glob.glob(str(tmp_path / "acts" / "*.csv"))
+    assert len(csvs) == 1
+    acts = np.loadtxt(csvs[0], delimiter=",", ndmin=2)
+    # the driver loop runs num_steps+1 policy steps (reference loop
+    # bound semantics); every executed action is exported
+    assert acts.shape == (11, 6)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from replay_mujoco import replay
+
+    total = replay(csvs[0], "HalfCheetah-v4")
+    np.testing.assert_allclose(total, metrics["rewards"][0], rtol=1e-6,
+                               atol=1e-6)

@@ -56,19 +56,35 @@ def global_mean_cov(e_shard: jnp.ndarray, axis: str, k_global: int, corrected: b
 def global_top_k(costs_shard: jnp.ndarray, k: int, axis: str):
     """Global k smallest costs and their global indices over a sharded axis.
 
-    Per-shard top-k (k ≤ K_local required), gathered via a psum of one-hot
-    slot placements (psum outputs are statically replicated, which JAX's
-    varying-manual-axes checker accepts where all_gather is not), then a
-    replicated re-top-k. Returns (values (k,), global_indices (k,)).
+    Hierarchical: each shard contributes its top min(k, K_local) candidates
+    (when k > K_local — e.g. the reference's m_elite=30 at K=150 over 8
+    devices, K_local=19 — a shard simply contributes ALL its elements,
+    padded to k slots with +inf losers, which keeps the result exact: any
+    member of the global top-k lives in some shard's contribution).
+    Candidates are gathered via a psum of one-hot slot placements (psum
+    outputs are statically replicated, which JAX's varying-manual-axes
+    checker accepts where all_gather is not), then re-top-k'd replicated.
+    Returns (values (k,), global_indices (k,)).
     """
     k_local = costs_shard.shape[0]
     n_shards = lax.axis_size(axis)
     i = lax.axis_index(axis)
-    neg_vals, local_idx = lax.top_k(-costs_shard, k)
+    m = min(k, k_local)
+    neg_vals, local_idx = lax.top_k(-costs_shard, m)
     global_idx = (local_idx + i * k_local).astype(jnp.int32)
-    val_buf = jnp.zeros((n_shards, k), dtype=costs_shard.dtype).at[i].set(neg_vals)
+    if m < k:  # pad to k slots with -inf (negated: always-losing values)
+        pad = jnp.full((k - m,), -jnp.inf, dtype=costs_shard.dtype)
+        neg_vals = jnp.concatenate([neg_vals, pad])
+        global_idx = jnp.concatenate(
+            [global_idx, jnp.zeros((k - m,), dtype=jnp.int32)]
+        )
+    val_buf = jnp.full((n_shards, k), -jnp.inf, dtype=costs_shard.dtype)
+    val_buf = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n_shards, k), 0) == i,
+        neg_vals[None, :], val_buf,
+    )
     idx_buf = jnp.zeros((n_shards, k), dtype=jnp.int32).at[i].set(global_idx)
-    all_vals = lax.psum(val_buf, axis).reshape(-1)
+    all_vals = lax.pmax(val_buf, axis).reshape(-1)
     all_idx = lax.psum(idx_buf, axis).reshape(-1)
     top_vals, pos = lax.top_k(all_vals, k)
     return -top_vals, all_idx[pos]

@@ -200,3 +200,52 @@ def test_sharded_full_training_step_runs():
     s, ps = env.reset(), pol.init_state(0)
     s2, ps2 = mpc_step(s, ps)
     assert np.isfinite(np.asarray(s2.x)).all()
+
+
+def test_global_top_k_exceeding_shard_size():
+    """k > K_local (the reference's m_elite=30 at K=150 over 8 devices ⇒
+    K_local=19): every shard contributes all its elements padded with
+    +inf losers, so the hierarchical result stays exact."""
+    mesh = _mesh()
+    rng = np.random.default_rng(7)
+    for k_total, k in ((152, 30), (64, 20), (160, 8)):
+        costs = jnp.asarray(rng.permutation(k_total).astype(float))
+        f = shard_map(
+            functools.partial(global_top_k, k=k, axis=SAMPLE_AXIS),
+            mesh=mesh,
+            in_specs=P(SAMPLE_AXIS),
+            out_specs=(P(), P()),
+        )
+        vals, idx = f(costs)
+        order = np.argsort(np.asarray(costs), kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(costs)[order])
+        np.testing.assert_array_equal(np.sort(np.asarray(idx)), np.sort(order))
+
+
+def test_gspmd_emits_psum_of_outer_products():
+    """The compiled sharded μΣ-AIS step must contain the collective
+    pattern parallel/collectives.py prescribes — scalar all-reduces for
+    the softmax baseline/normalizer, a (cs,)-shaped all-reduce for the
+    weighted mean, a (cs,cs)-shaped all-reduce for the covariance
+    (psum of per-shard outer products) — and NO all-gather: the (cs,K)
+    sample matrix never crosses devices. This pins GSPMD's lowering of
+    the production path to the manual-collective formulation."""
+    import re
+
+    mesh = _mesh()
+    env = MountainCarEnv(dtype=jnp.float64)
+    cfg = PolicyConfig(
+        kind="musigmaaismppi", num_samples=64, horizon=10, lam=0.1, opt_its=3
+    )
+    pol = make_policy(
+        env, cfg, cov_mat=[1.5],
+        sample_sharding=sample_sharding(mesh, ndim=3), jit=False,
+    )
+    s = env.reset()
+    hlo = jax.jit(pol.step).lower(s, pol.init_state(0)).compile().as_text()
+    assert "all-gather" not in hlo
+    ar_shapes = re.findall(r"= (\S+) all-reduce", hlo)
+    cs = 10  # horizon * action_dim
+    assert any(sh.startswith("f64[]") for sh in ar_shapes), ar_shapes
+    assert any(sh.startswith(f"f64[{cs},{cs}]") for sh in ar_shapes), ar_shapes
+    assert any(sh.startswith(f"f64[{cs}]") for sh in ar_shapes), ar_shapes

@@ -159,6 +159,88 @@ def bench_cheetah_on_device(num_samples: int = 2048, horizon: int = 15,
     return num_samples * horizon / per_call
 
 
+# Public TPU v5e (lite) per-chip peaks: 197 bf16 TFLOP/s on the MXUs
+# (f32 ≈ half), and ~3.9 TFLOP/s of f32 VPU vector throughput
+# (8x128 lanes x 4 ALUs x ~0.94 GHz). The rollout kernels are
+# elementwise/VPU-bound (no matmuls), so the VPU line is the honest
+# roofline; the MXU percentage is reported for context.
+_VPU_PEAK_F32 = 3.9e12
+_MXU_PEAK_F32 = 98.0e12
+
+
+def bench_roofline(num_samples: int = 8192, horizon: int = 50,
+                   n_short: int = 5, n_long: int = 25) -> dict:
+    """Per-kernel FLOP estimate + achieved utilization for the fused car
+    rollout (the flagship kernel). The FLOP count comes from XLA's cost
+    analysis of the mathematically-identical vmap path (the kernel does
+    strictly no more arithmetic); the time is the slope-measured fused
+    kernel call. This gives round-3 perf work a denominator."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import CarRacingEnv
+    from mpopis_tpu.models.rollout import rollout_batch
+
+    env = CarRacingEnv(dtype=jnp.float32)
+    s0 = env.reset()
+    rng = np.random.default_rng(0)
+    ctrl_tak = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (horizon, 2, num_samples)), dtype=jnp.float32
+    )
+
+    def vmap_costs(c):
+        costs, _ = rollout_batch(env, s0, jnp.transpose(c, (2, 0, 1)), False)
+        return costs
+
+    # FLOPs scale exactly linearly in K on the vmap path: count a small-K
+    # compile on the CPU backend (cheap) and scale up. XLA's cost analysis
+    # counts a scan/while BODY once regardless of trip count, so compare a
+    # 2-step and a 1-step horizon to find the per-step body cost and the
+    # outside-the-loop overhead, then scale by the real horizon.
+    k_small = 256
+
+    def _count(h):
+        with jax.default_device(jax.devices("cpu")[0]):
+            small = jnp.asarray(
+                np.asarray(ctrl_tak[:h, :, :k_small]), dtype=jnp.float32
+            )
+            a = jax.jit(vmap_costs).lower(small).compile().cost_analysis()
+        if isinstance(a, (list, tuple)):
+            a = a[0]
+        return float(a["flops"])
+
+    f1, f2 = _count(1), _count(2)
+    if f2 > 1.5 * f1:  # trip count IS included: scale from the 2-step count
+        flops = (f1 + (f2 - f1) * (horizon - 1)) * (num_samples / k_small)
+    else:  # body counted once: the count ~equals one step's flops
+        flops = f2 * horizon * (num_samples / k_small)
+
+    @jax.jit
+    def chain(c):
+        costs = env.fused_rollout_costs_tak(s0, c)
+        return c + costs[None, None, :] * 1e-12
+
+    def run(n: int) -> float:
+        c = ctrl_tak
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = chain(c)
+        np.asarray(c)
+        return time.perf_counter() - t0
+
+    run(2)
+    per_call = _slope(run, n_short, n_long)
+    gflops = flops / per_call / 1e9
+    return {
+        "kernel": "car_rollout_fused",
+        "flops_per_call": int(flops),
+        "ms_per_call": round(per_call * 1e3, 3),
+        "achieved_gflop_s": round(gflops, 1),
+        "vpu_roofline_pct": round(100.0 * gflops * 1e9 / _VPU_PEAK_F32, 1),
+        "mxu_roofline_pct": round(100.0 * gflops * 1e9 / _MXU_PEAK_F32, 2),
+    }
+
+
 def main() -> None:
     sps_8192 = bench_car_racing(8192)
     sps_150 = bench_car_racing(150)
@@ -179,6 +261,10 @@ def main() -> None:
         )
     except Exception as exc:
         details["cheetah_on_device_env_steps_per_s"] = f"skipped: {exc}"
+    try:
+        details["roofline"] = bench_roofline()
+    except Exception as exc:
+        details["roofline"] = f"skipped: {exc}"
     try:
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
         # violation bookkeeping included); trial 2 excludes compiles

@@ -45,29 +45,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(
-    model: PlanarContactModel,
+    n_dof: int,
+    na: int,
+    advance,  # (q, qv, acts) -> (q', qv'): one FULL control step
     horizon: int,
-    frame_skip: int,
-    outer: int,
-    cg: int,
-    gear,
     healthy: float,
     ctrl_w: float,
+    inv_dt: float,
     block_k: int,
 ):
-    n = model.n_dof
-    na = len(gear)
+    """Generic fused-rollout kernel over tuple-of-scalars dynamics: any
+    env whose control step is pure jnp over (q, qv) n_dof-tuples (the
+    scalar/SoA discipline) plugs in via `advance`; the locomotion reward
+    healthy + Δx/dt − ctrl_w·Σa² covers the gym v4 family."""
     s_sub = block_k // LANES
     shape = (s_sub, LANES)
-    substep, *_ = build_contact_stepper(model)
-    inv_dt = 1.0 / (model.timestep * frame_skip)
 
     def kernel(state0_ref, controls_ref, costs_ref):
         def full(v):
             return jnp.full(shape, v, dtype=jnp.float32)
 
-        q0 = tuple(full(state0_ref[0, i]) for i in range(n))
-        qv0 = tuple(full(state0_ref[0, n + i]) for i in range(n))
+        q0 = tuple(full(state0_ref[0, i]) for i in range(n_dof))
+        qv0 = tuple(full(state0_ref[0, n_dof + i]) for i in range(n_dof))
         zero = full(0.0)
 
         def action_step(t, carry):
@@ -75,23 +74,8 @@ def _make_kernel(
             acts = tuple(
                 controls_ref[t, i, :].reshape(shape) for i in range(na)
             )
-            tau = (zero,) * 3 + tuple(
-                gear[i] * acts[i] for i in range(na)
-            )
             x_before = q[0]
-            # λ warm-start chains across substeps, reset per control step
-            # (identical semantics to the env.step scan = vmap oracle)
-            lam = jnp.zeros(
-                (model.n_rows,) + shape, dtype=jnp.float32
-            )
-
-            def sub(_, qqv):
-                qq, vv, ll = qqv
-                return substep(qq, vv, tau, outer, cg, ll)
-
-            q, qv, _ = jax.lax.fori_loop(
-                0, frame_skip, sub, (q, qv, lam)
-            )
+            q, qv = advance(q, qv, acts)
             rew = healthy + (q[0] - x_before) * inv_dt
             for a in acts:
                 rew = rew - ctrl_w * (a * a)
@@ -103,6 +87,27 @@ def _make_kernel(
         costs_ref[:, :] = cost
 
     return kernel
+
+
+def _contact_advance(model: PlanarContactModel, frame_skip, outer, cg, gear):
+    substep, *_ = build_contact_stepper(model)
+    na = len(gear)
+
+    def advance(q, qv, acts):
+        zero = jnp.zeros_like(q[0])
+        tau = (zero,) * 3 + tuple(gear[i] * acts[i] for i in range(na))
+        # λ warm-start chains across substeps, reset per control step
+        # (identical semantics to the env.step scan = vmap oracle)
+        lam = jnp.zeros((model.n_rows,) + q[0].shape, dtype=q[0].dtype)
+
+        def sub(_, qqv):
+            qq, vv, ll = qqv
+            return substep(qq, vv, tau, outer, cg, ll)
+
+        q, qv, _ = jax.lax.fori_loop(0, frame_skip, sub, (q, qv, lam))
+        return q, qv
+
+    return advance
 
 
 @functools.partial(
@@ -146,8 +151,10 @@ def _planar_rollout_impl(
         ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
     state0 = state0_x[: 2 * n].astype(jnp.float32).reshape(1, -1)
 
+    advance = _contact_advance(model, frame_skip, outer, cg, gear)
     kernel = _make_kernel(
-        model, horizon, frame_skip, outer, cg, gear, healthy, ctrl_w, block_k
+        n, na, advance, horizon, healthy, ctrl_w,
+        1.0 / (model.timestep * frame_skip), block_k,
     )
     costs = pl.pallas_call(
         kernel,
@@ -166,6 +173,102 @@ def _planar_rollout_impl(
         interpret=interpret,
     )(state0, ctrl)
     return costs.reshape(-1)[:k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("horizon", "block_k", "interpret"),
+)
+def _swimmer_rollout_impl(
+    state0_x: jnp.ndarray,  # (10,)
+    controls_tak: jnp.ndarray,  # (T, 2, K), clamped
+    horizon: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    from mpopis_tpu.models import swimmer_device as sd
+
+    k = controls_tak.shape[2]
+    k_pad = _round_up(k, LANES)
+    if k_pad <= block_k:
+        block_k = k_pad
+    else:
+        block_k = max(block_k, 8 * LANES)
+        k_pad = _round_up(k_pad, block_k)
+    s_sub = block_k // LANES
+    grid = (k_pad // block_k,)
+    if k_pad == k:
+        ctrl = controls_tak.astype(jnp.float32)
+    else:
+        ctrl = jnp.zeros((horizon, 2, k_pad), dtype=jnp.float32)
+        ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
+    state0 = state0_x.astype(jnp.float32).reshape(1, -1)
+
+    def advance(q, qv, acts):
+        # The swimmer dynamics use AD transforms that require per-sample
+        # SCALARS (jax.grad of the kinetic energy; jacfwd over the dof
+        # tuple): vmap the scalar substep over the flattened block — the
+        # trace lowers to the same batched elementwise ops the contact
+        # family writes explicitly.
+        shp = q[0].shape
+        qf = tuple(x.reshape(-1) for x in q)
+        qvf = tuple(x.reshape(-1) for x in qv)
+        a0 = acts[0].reshape(-1)
+        a1 = acts[1].reshape(-1)
+
+        def one(qs, vs, a0s, a1s):
+            tau3 = sd._GEAR * a0s
+            tau4 = sd._GEAR * a1s
+
+            def sub(_, qqv):
+                qq, vv = qqv
+                return sd._rk4(qq, vv, tau3, tau4)
+
+            return jax.lax.fori_loop(0, sd._FRAME_SKIP, sub, (qs, vs))
+
+        q2, qv2 = jax.vmap(one)(qf, qvf, a0, a1)
+        return (
+            tuple(x.reshape(shp) for x in q2),
+            tuple(x.reshape(shp) for x in qv2),
+        )
+
+    kernel = _make_kernel(
+        5, 2, advance, horizon, 0.0, 1e-4,
+        1.0 / (sd._H * sd._FRAME_SKIP), block_k,
+    )
+    costs = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (horizon, 2, block_k), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(state0, ctrl)
+    return costs.reshape(-1)[:k]
+
+
+def swimmer_rollout_costs_tak(
+    state0_x: jnp.ndarray,
+    controls_tak: jnp.ndarray,
+    *,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(K,) trajectory costs for the on-device Swimmer (AD-derived chain
+    dynamics + fluid model traced INSIDE the Pallas kernel — jacfwd/jvp/
+    vjp are trace-time transforms, so the lowered kernel is plain vector
+    code). Oracle: rollout_batch over SwimmerDeviceEnv.step_reward."""
+    return _swimmer_rollout_impl(
+        state0_x, controls_tak, controls_tak.shape[0], block_k, interpret
+    )
 
 
 def planar_rollout_costs_tak(

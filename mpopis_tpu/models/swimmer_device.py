@@ -171,6 +171,8 @@ class SwimmerDeviceEnv(Env):
     the pre-step x.
     """
 
+    fused_interpret: bool = False
+
     state_dim = 10
     action_dim = 2
     action_low = np.array([-1.0, -1.0])
@@ -179,6 +181,33 @@ class SwimmerDeviceEnv(Env):
     @property
     def dt(self) -> float:
         return _H * _FRAME_SKIP
+
+    # --- fused Pallas rollout (kernels/planar_step.py) ------------------
+    @property
+    def supports_fused_rollout(self) -> bool:
+        # interpret-mode only for now: the swimmer kernel body is traced
+        # through jacfwd/jvp/vjp (vmapped per sample) and the resulting
+        # graph stalls/OOMs this environment's remote Mosaic compile
+        # helper even at T=5 (the round-1 "big traced graphs" limit).
+        # The production TPU path stays the XLA/vmap rollout; the named
+        # fix is analytic swimmer dynamics (mass/bias/fluid via the
+        # planar_contact chain formulas), docs/ROADMAP.md.
+        return self.dtype == jnp.float32 and self.fused_interpret
+
+    def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
+        """(T, 2, K) clamped controls → (K,) costs; the whole rollout
+        (RK4 chain dynamics + fluid + soft limits) in one Pallas program
+        per K-block."""
+        from mpopis_tpu.kernels.planar_step import swimmer_rollout_costs_tak
+
+        return swimmer_rollout_costs_tak(
+            state.x, controls_tak, interpret=self.fused_interpret
+        )
+
+    def fused_rollout_costs(self, state, controls: jnp.ndarray):
+        return self.fused_rollout_costs_tak(
+            state, jnp.transpose(controls, (1, 2, 0))
+        )
 
     def reset(self, key: jax.Array | None = None) -> EnvState:
         return make_state(jnp.zeros((10,), dtype=self.dtype))

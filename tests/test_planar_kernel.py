@@ -96,3 +96,23 @@ def test_fused_rollout_nonzero_contacts():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(oracle), rtol=2e-4, atol=2e-3
     )
+
+
+def test_swimmer_fused_rollout_matches_vmap_oracle():
+    """The generic kernel builder also covers the swimmer (AD-derived
+    dynamics traced inside the kernel): interpret-mode == vmap oracle."""
+    from mpopis_tpu.models import SwimmerDeviceEnv
+
+    env = SwimmerDeviceEnv(dtype=jnp.float32, fused_interpret=True)
+    assert env.supports_fused_rollout
+    k, t = 6, 3
+    rng = np.random.default_rng(9)
+    controls = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (k, t, 2)), dtype=jnp.float32
+    )
+    s0 = env.reset()
+    oracle, _ = rollout_batch(env, s0, controls, log_states=False)
+    got = env.fused_rollout_costs(s0, controls)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(oracle), rtol=2e-4, atol=2e-5
+    )

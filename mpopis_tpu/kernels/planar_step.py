@@ -205,32 +205,21 @@ def _swimmer_rollout_impl(
     state0 = state0_x.astype(jnp.float32).reshape(1, -1)
 
     def advance(q, qv, acts):
-        # The swimmer dynamics use AD transforms that require per-sample
-        # SCALARS (jax.grad of the kinetic energy; jacfwd over the dof
-        # tuple): vmap the scalar substep over the flattened block — the
-        # trace lowers to the same batched elementwise ops the contact
-        # family writes explicitly.
-        shp = q[0].shape
-        qf = tuple(x.reshape(-1) for x in q)
-        qvf = tuple(x.reshape(-1) for x in qv)
-        a0 = acts[0].reshape(-1)
-        a1 = acts[1].reshape(-1)
-
-        def one(qs, vs, a0s, a1s):
-            tau3 = sd._GEAR * a0s
-            tau4 = sd._GEAR * a1s
-
-            def sub(_, qqv):
-                qq, vv = qqv
-                return sd._rk4(qq, vv, tau3, tau4)
-
-            return jax.lax.fori_loop(0, sd._FRAME_SKIP, sub, (qs, vs))
-
-        q2, qv2 = jax.vmap(one)(qf, qvf, a0, a1)
-        return (
-            tuple(x.reshape(shp) for x in q2),
-            tuple(x.reshape(shp) for x in qv2),
+        # analytic swimmer substep (no AD transforms — the jacfwd/jvp/vjp
+        # route stalled the remote Mosaic compiler); shape-polymorphic,
+        # so the block arrays trace directly like the contact family
+        tau3 = sd._GEAR * acts[0]
+        tau4 = sd._GEAR * acts[1]
+        lam = jnp.zeros(
+            (sd.PC_MODEL.n_rows,) + q[0].shape, dtype=q[0].dtype
         )
+
+        def sub(_, qqv):
+            qq, vv, ll = qqv
+            return sd._rk4_analytic(qq, vv, tau3, tau4, ll)
+
+        q, qv, _ = jax.lax.fori_loop(0, sd._FRAME_SKIP, sub, (q, qv, lam))
+        return q, qv
 
     kernel = _make_kernel(
         5, 2, advance, horizon, 0.0, 1e-4,

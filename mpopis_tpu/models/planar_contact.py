@@ -641,12 +641,15 @@ def solve_qp(
     return qfrc
 
 
-def build_contact_stepper(model: PlanarContactModel):
+def build_contact_stepper(model: PlanarContactModel, extra_force=None):
     """Build (substep, mass_entries, bias, qfrc_smooth) for the model.
 
     substep(q, qv, tau, outer, cg) advances ONE physics timestep with the
     model's integrator; q/qv are n_dof tuples of scalars (vmap makes them
-    (K,) vectors), tau the n_dof generalized-force tuple."""
+    (K,) vectors), tau the n_dof generalized-force tuple. `extra_force`
+    (q, qv) -> n_dof tuple adds state-dependent applied forces into
+    qfrc_smooth (e.g. the swimmer's fluid wrench), re-evaluated at every
+    integrator stage like MuJoCo's qfrc_passive."""
     n = model.n_dof
 
     def mass_entries(q):
@@ -657,11 +660,15 @@ def build_contact_stepper(model: PlanarContactModel):
 
     def qfrc_smooth(q, qv, tau):
         b = bias(q, qv)
-        return [
+        out = [
             tau[d] - b[d] - model.damping[d] * qv[d]
             - model.stiffness[d] * q[d]
             for d in range(n)
         ]
+        if extra_force is not None:
+            f = extra_force(q, qv)
+            out = [o + f[d] for d, o in enumerate(out)]
+        return out
 
     def qacc_warm(q, qv, tau, outer, cg, lam0):
         """Full constrained forward dynamics (one mj_forward), warm-

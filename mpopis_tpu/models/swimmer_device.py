@@ -161,6 +161,119 @@ def _rk4(q, qv, tau3, tau4):
     return qn, vn
 
 
+# ---------------------------------------------------------------------------
+# Analytic route (no AD transforms): the same dynamics assembled from the
+# generic planar-contact chain formulas. The swimmer rotates about +z while
+# the planar_contact convention rotates about +y — R_mine(−θ) = R_z(θ), so
+# every hinge gets sign −1 and the link angles/ω flip sign inside the fluid
+# model (which is written in z-convention below). This route is pinned
+# equal to the AD route (tests/test_swimmer_device.py) and is what the
+# fused Pallas kernel traces: the AD route's jacfwd/jvp/vjp graphs stall
+# the remote Mosaic compiler (docs/ROADMAP.md round-2 notes).
+# ---------------------------------------------------------------------------
+
+from mpopis_tpu.models.planar_contact import (  # noqa: E402
+    PCBody,
+    PCLimit,
+    PlanarContactModel,
+    build_contact_stepper,
+    frames,
+)
+
+PC_MODEL = PlanarContactModel(
+    n_dof=5,
+    root_offset=(0.0, 0.0),
+    bodies=(
+        PCBody(parent=-1, pos=(0.0, 0.0), anchor=(0.0, 0.0), sign=-1.0,
+               com=(1.0, 0.0), mass=_MASS, iyy=_I_MAX, dof=2),  # torso
+        PCBody(parent=0, pos=(0.5, 0.0), anchor=(0.0, 0.0), sign=-1.0,
+               com=(-0.5, 0.0), mass=_MASS, iyy=_I_MAX, dof=3),  # mid
+        PCBody(parent=1, pos=(-1.0, 0.0), anchor=(0.0, 0.0), sign=-1.0,
+               com=(-0.5, 0.0), mass=_MASS, iyy=_I_MAX, dof=4),  # back
+    ),
+    contacts=(),
+    limits=(
+        PCLimit(dof=3, lo=-_LIMIT, hi=_LIMIT, solimp=(0.9, 0.95, 0.001)),
+        PCLimit(dof=4, lo=-_LIMIT, hi=_LIMIT, solimp=(0.9, 0.95, 0.001)),
+    ),
+    damping=(0.0,) * 5,
+    armature=(_ARMATURE,) * 5,
+    stiffness=(0.0,) * 5,
+    gear=(_GEAR, _GEAR),
+    dof_invweight0=(0.0, 0.0, 0.0) + _INVWEIGHT,
+    body_invweight0=(0.0, 0.0, 0.0),
+    timestep=_H,
+    integrator="rk4",
+    gravity=0.0,
+)
+
+
+def _fluid_force_analytic(q, qv):
+    """Generalized inertia-box fluid forces via the chain Jacobians
+    (z-convention: θ_z = −θ_mine, ω_z = −ω_mine; coordinates coincide)."""
+    model = PC_MODEL
+    ox, oz, th, awx, awz = frames(model, q)
+    chains = model.chains
+    nb = len(model.bodies)
+    omega = [None] * nb
+    vax, vaz = [None] * nb, [None] * nb
+    for bi, b in enumerate(model.bodies):
+        if b.parent == -1:
+            omega[bi] = b.sign * qv[b.dof]
+            vax[bi], vaz[bi] = qv[0], qv[1]
+        else:
+            p = b.parent
+            omega[bi] = omega[p] + b.sign * qv[b.dof]
+            dx, dz = awx[bi] - awx[p], awz[bi] - awz[p]
+            vax[bi] = vax[p] + omega[p] * dz
+            vaz[bi] = vaz[p] - omega[p] * dx
+    zero = jnp.zeros_like(q[0])
+    out = [zero] * 5
+    for bi, b in enumerate(model.bodies):
+        c, s = jnp.cos(th[bi]), jnp.sin(th[bi])
+        cx, cz = b.com
+        px = ox[bi] + c * cx + s * cz
+        pz = oz[bi] - s * cx + c * cz
+        vpx = vax[bi] + omega[bi] * (pz - awz[bi])
+        vpz = vaz[bi] - omega[bi] * (px - awx[bi])
+        # z-convention axis: (cos θ_z, sin θ_z) = (c, −s)
+        sz = -s
+        v_par = vpx * c + vpz * sz
+        v_perp = -vpx * sz + vpz * c
+        f_par = -(_C_VISC_F + _C_PAR * jnp.abs(v_par)) * v_par
+        f_perp = -(_C_VISC_F + _C_PERP * jnp.abs(v_perp)) * v_perp
+        fx = f_par * c - f_perp * sz
+        fz = f_par * sz + f_perp * c
+        w_z = -omega[bi]
+        tq = -(_C_VISC_T + _C_ROT * jnp.abs(w_z)) * w_z
+        out[0] = out[0] + fx
+        out[1] = out[1] + fz
+        for body in chains[bi]:
+            bb = model.bodies[body]
+            jx = bb.sign * (pz - awz[body])
+            jz = -bb.sign * (px - awx[body])
+            # ∂θ_z/∂q_d = −sign (θ_z = −θ_mine)
+            out[bb.dof] = out[bb.dof] + jx * fx + jz * fz - bb.sign * tq
+    return tuple(out)
+
+
+_analytic_substep, _pc_mass, _pc_bias, _pc_smooth, _pc_qacc = (
+    build_contact_stepper(PC_MODEL, extra_force=_fluid_force_analytic)
+)
+
+
+def _rk4_analytic(q, qv, tau3, tau4, lam=None):
+    """One mj_RungeKutta step via the analytic route; returns
+    (q', qv', λ). Solver (2, 3) is EXACT for the 2-row limit QP (a 2-dim
+    Krylov space: 3 CG its are a direct solve; the second active-set pass
+    fixes any mispick — pinned bitwise equal to (8, 8) on limit-active
+    states), and the small fixed counts keep the Mosaic kernel compile
+    tractable."""
+    zero = jnp.zeros_like(q[0])
+    tau = (zero, zero, zero, tau3, tau4)
+    return _analytic_substep(q, qv, tau, 2, 3, lam)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class SwimmerDeviceEnv(Env):
     """gymnasium Swimmer-v4 with on-device dynamics.
@@ -185,14 +298,10 @@ class SwimmerDeviceEnv(Env):
     # --- fused Pallas rollout (kernels/planar_step.py) ------------------
     @property
     def supports_fused_rollout(self) -> bool:
-        # interpret-mode only for now: the swimmer kernel body is traced
-        # through jacfwd/jvp/vjp (vmapped per sample) and the resulting
-        # graph stalls/OOMs this environment's remote Mosaic compile
-        # helper even at T=5 (the round-1 "big traced graphs" limit).
-        # The production TPU path stays the XLA/vmap rollout; the named
-        # fix is analytic swimmer dynamics (mass/bias/fluid via the
-        # planar_contact chain formulas), docs/ROADMAP.md.
-        return self.dtype == jnp.float32 and self.fused_interpret
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
+        )
 
     def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
         """(T, 2, K) clamped controls → (K,) costs; the whole rollout
@@ -218,12 +327,18 @@ class SwimmerDeviceEnv(Env):
         tau4 = _GEAR * a[1]
         q = tuple(state.x[i] for i in range(5))
         qv = tuple(state.x[5 + i] for i in range(5))
+        # analytic route (pinned equal to the AD route to ~3e-15/substep);
+        # λ warm-starts the 2-row limit solve across the frame skip
+        lam = jnp.zeros((PC_MODEL.n_rows,) + jnp.shape(state.x[0]),
+                        dtype=state.x.dtype)
 
         def sub(carry, _):
-            qq, vv = carry
-            return _rk4(qq, vv, tau3, tau4), None
+            qq, vv, ll = carry
+            return _rk4_analytic(qq, vv, tau3, tau4, ll), None
 
-        (q, qv), _ = jax.lax.scan(sub, (q, qv), None, length=_FRAME_SKIP)
+        (q, qv, _), _ = jax.lax.scan(
+            sub, (q, qv, lam), None, length=_FRAME_SKIP
+        )
         x = jnp.stack(q + qv).astype(self.dtype)
         return EnvState(x=x, t=state.t + 1, done=state.done)
 

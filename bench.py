@@ -1,4 +1,4 @@
-"""Benchmark: car-racing control throughput on one chip.
+"""Benchmark: control throughput on one chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -8,36 +8,75 @@ default config at examples/car_example.jl:51-68, scaled to 8192 samples).
 vs_baseline divides by the only wall-clock the reference publishes:
 ~2.56 control steps/s (HalfCheetah CEMPPI trial, README.md:90-95; the
 reference has no faster published config at any sample count).
+
+The details block captures EVERY headline number README.md/BENCH.md claim
+(per-task kernel env-steps/s, end-to-end control rates for the contact
+tasks, the roofline block) plus measurement spread and per-task compile
+time, so the per-round artifact is self-contained evidence.
+
+Trust rules (round 3): a slope measurement that stays non-positive after
+retries reports NaN -> the affected entry is marked unmeasurable rather
+than fabricating a rate; the roofline block cross-checks implied
+utilization against the physical VPU peak and flags itself "unreliable"
+instead of shipping an impossible number (BENCH_r02.json shipped 2830%).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import numpy as np
 
 BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
 
+COMPILE_TIMES: dict[str, float] = {}  # per-bench first-call (compile) wall
+
 
 def _slope(run, n_short: int, n_long: int, reps: int = 3,
            retries: int = 2) -> float:
     """Per-step slope between two chained-run lengths, guarded against
     relay jitter making t_long <= t_short (which would report a negative
-    or infinite rate): re-measure up to `retries` times, then clamp to a
-    small positive epsilon."""
+    or infinite rate): re-measure up to `retries` times, then return NaN —
+    the caller marks the entry unmeasurable instead of publishing a rate
+    fabricated from jitter."""
+    per_step = float("nan")
     for _ in range(retries + 1):
         t_short = min(run(n_short) for _ in range(reps))
         t_long = min(run(n_long) for _ in range(reps))
         per_step = (t_long - t_short) / (n_long - n_short)
         if per_step > 0.0:
             return per_step
-    return max(per_step, 1e-9)
+    return float("nan")
 
 
-def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
-                     n_short: int = 10, n_long: int = 60, warmup: int = 3) -> float:
-    """Per-step time from the slope between two chained-run lengths.
+def _slope_spread(run, n_short: int, n_long: int, reps: int = 2,
+                  samples: int = 3):
+    """Repeat the slope measurement `samples` times: (median, spread%).
+
+    The spread (max-min)/median distinguishes relay noise from real
+    regressions between rounds (VERDICT r2: a 7% drop was unattributable
+    because no repeat-run variance was recorded)."""
+    vals = [_slope(run, n_short, n_long, reps) for _ in range(samples)]
+    vals = [v for v in vals if math.isfinite(v)]
+    if not vals:
+        return float("nan"), float("nan")
+    med = float(np.median(vals))
+    return med, 100.0 * (max(vals) - min(vals)) / med
+
+
+def _timed_first(tag: str, fn):
+    """Run fn() once, recording wall time as this bench's compile time."""
+    t0 = time.perf_counter()
+    out = fn()
+    COMPILE_TIMES[tag] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def _mpc_steps_per_s(env, cfg, cov_mat, tag: str, n_short: int = 10,
+                     n_long: int = 60, spread: bool = False):
+    """End-to-end control steps/s of a jitted policy+env MPC step.
 
     Each MPC step feeds the next (no pipelining of independent work), and
     every run ends in a forced device->host transfer. Taking the slope
@@ -48,36 +87,21 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
     block_until_ready does not reliably do through the relay.
     """
     import jax
-    import jax.numpy as jnp
 
-    from mpopis_tpu.models import CarRacingEnv
-    from mpopis_tpu.policies import PolicyConfig, make_policy
+    from mpopis_tpu.policies import make_policy
 
-    env = CarRacingEnv(dtype=jnp.float32)
-    cfg = PolicyConfig(
-        kind="cemppi",
-        num_samples=num_samples,
-        horizon=horizon,
-        lam=10.0,
-        alpha=1.0,
-        opt_its=ais_its,
-        ce_elite_threshold=0.8,
-        sigma_est="ss",
-    )
-    pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
+    pol = make_policy(env, cfg, cov_mat=cov_mat, jit=False)
 
     @jax.jit
     def mpc_step(env_state, pol_state):
         action, pol_state, _ = pol.step(env_state, pol_state)
         return env.step(env_state, action), pol_state
 
-    s, ps = env.reset(), pol.init_state(1)
-    for _ in range(warmup):
-        s, ps = mpc_step(s, ps)
-    np.asarray(s.x)
+    def fresh():
+        return env.reset(), pol.init_state(1)
 
     def run(n: int) -> float:
-        s, ps = env.reset(), pol.init_state(1)
+        s, ps = fresh()
         t0 = time.perf_counter()
         for _ in range(n):
             s, ps = mpc_step(s, ps)
@@ -86,52 +110,77 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
         assert bool(np.isfinite(x_host).all())
         return dt
 
+    _timed_first(tag, lambda: run(1))
+    run(2)  # settle
+    if spread:
+        med, spr = _slope_spread(run, n_short, n_long)
+        return 1.0 / med, spr
     return 1.0 / _slope(run, n_short, n_long)
 
 
-def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15,
-                            n_short: int = 10, n_long: int = 60) -> float:
+def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
+                     kind: str = "cemppi", spread: bool = False):
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import CarRacingEnv
+    from mpopis_tpu.policies import PolicyConfig
+
+    env = CarRacingEnv(dtype=jnp.float32)
+    cfg = PolicyConfig(
+        kind=kind,
+        num_samples=num_samples,
+        horizon=horizon,
+        lam=10.0,
+        alpha=1.0,
+        opt_its=ais_its,
+        ce_elite_threshold=0.8,
+        sigma_est="ss",
+    )
+    return _mpc_steps_per_s(
+        env, cfg, np.diag([0.0625, 0.1]), f"car_{kind}_K{num_samples}",
+        spread=spread,
+    )
+
+
+def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15):
     """On-device MuJoCo env-steps/s (CEMPPI policy step incl. 3 AIS its)."""
-    import jax
     import jax.numpy as jnp
 
     from mpopis_tpu.models import ReacherDeviceEnv
-    from mpopis_tpu.policies import PolicyConfig, make_policy
+    from mpopis_tpu.policies import PolicyConfig
 
     env = ReacherDeviceEnv(dtype=jnp.float32)
     cfg = PolicyConfig(kind="cemppi", num_samples=num_samples, horizon=horizon,
                        lam=0.05, opt_its=3, sigma_est="mle")
-    pol = make_policy(env, cfg, cov_mat=[0.02, 0.02], jit=False)
-
-    @jax.jit
-    def mpc_step(env_state, pol_state):
-        action, pol_state, _ = pol.step(env_state, pol_state)
-        return env.step(env_state, action), pol_state
-
-    def run(n: int) -> float:
-        s, ps = env.reset(), pol.init_state(1)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            s, ps = mpc_step(s, ps)
-        np.asarray(s.x)
-        return time.perf_counter() - t0
-
-    run(3)
-    per_step = _slope(run, n_short, n_long, reps=2)
-    return num_samples * horizon * 3 / per_step  # env-steps/s
+    sps = _mpc_steps_per_s(env, cfg, [0.02, 0.02], "reacher_e2e")
+    return num_samples * horizon * 3 * sps  # env-steps/s
 
 
-def bench_cheetah_on_device(num_samples: int = 2048, horizon: int = 15,
-                            n_short: int = 3, n_long: int = 13) -> float:
-    """On-device HalfCheetah env-steps/s through the fused planar-contact
-    Pallas rollout kernel (contact QP per substep inside the kernel;
-    control-grade warm-start solver defaults)."""
+# Headline fused-kernel shapes (BENCH.md round-2 tables).
+_KERNEL_TASKS = {
+    "cheetah": ("CheetahDeviceEnv", 2048, 15, (3, 13)),
+    "hopper": ("HopperDeviceEnv", 2048, 15, (3, 13)),
+    "walker2d": ("Walker2dDeviceEnv", 2048, 15, (3, 13)),
+    "swimmer": ("SwimmerDeviceEnv", 4096, 25, (3, 13)),
+}
+# End-to-end contact configs: (env, K, H, opt_its, lam, cov).
+_E2E_TASKS = {
+    "cheetah": ("CheetahDeviceEnv", 2048, 15, 3, 0.1, 0.25),
+    "swimmer": ("SwimmerDeviceEnv", 4096, 25, 3, 0.1, 0.25),
+}
+
+
+def bench_kernel_env_steps(task: str):
+    """Raw fused-rollout kernel env-steps/s for one contact task (the
+    rollout alone, serialized through a data dependency)."""
+    import importlib
+
     import jax
     import jax.numpy as jnp
 
-    from mpopis_tpu.models import CheetahDeviceEnv
-
-    env = CheetahDeviceEnv(dtype=jnp.float32)
+    cls_name, num_samples, horizon, (n_short, n_long) = _KERNEL_TASKS[task]
+    models = importlib.import_module("mpopis_tpu.models")
+    env = getattr(models, cls_name)(dtype=jnp.float32)
     if not env.supports_fused_rollout:
         raise RuntimeError("fused rollout unsupported on this backend")
     rng = np.random.default_rng(0)
@@ -154,9 +203,31 @@ def bench_cheetah_on_device(num_samples: int = 2048, horizon: int = 15,
         np.asarray(c)
         return time.perf_counter() - t0
 
-    run(1)
+    _timed_first(f"{task}_kernel", lambda: run(1))
     per_call = _slope(run, n_short, n_long)
     return num_samples * horizon / per_call
+
+
+def bench_contact_e2e(task: str):
+    """End-to-end control steps/s (CEMPPI MPC step, fused rollout +
+    distribution update + env step) for a contact task — the number a
+    user of simulate_mujoco_on_device actually gets, the same quantity as
+    the reference's only published wall-clock (README.md:90-95)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from mpopis_tpu.policies import PolicyConfig
+
+    cls_name, num_samples, horizon, opt_its, lam, cov = _E2E_TASKS[task]
+    models = importlib.import_module("mpopis_tpu.models")
+    env = getattr(models, cls_name)(dtype=jnp.float32)
+    cfg = PolicyConfig(kind="cemppi", num_samples=num_samples,
+                       horizon=horizon, lam=lam, opt_its=opt_its,
+                       sigma_est="mle")
+    return _mpc_steps_per_s(
+        env, cfg, [cov] * env.action_dim, f"{task}_e2e", n_short=5, n_long=30
+    )
 
 
 # Public TPU v5e (lite) per-chip peaks: 197 bf16 TFLOP/s on the MXUs
@@ -174,7 +245,14 @@ def bench_roofline(num_samples: int = 8192, horizon: int = 50,
     rollout (the flagship kernel). The FLOP count comes from XLA's cost
     analysis of the mathematically-identical vmap path (the kernel does
     strictly no more arithmetic); the time is the slope-measured fused
-    kernel call. This gives round-3 perf work a denominator."""
+    kernel call. This gives perf work a denominator.
+
+    Sanity gate: utilization above 100% of the VPU peak is physically
+    impossible for this op mix, so ms_per_call has a hard floor of
+    flops/VPU_peak. A measurement below the floor is re-measured with
+    longer chains; if it persists, the block ships with "unreliable": true
+    (relay jitter produced a fake slope) rather than as fact.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -228,43 +306,68 @@ def bench_roofline(num_samples: int = 8192, horizon: int = 50,
         np.asarray(c)
         return time.perf_counter() - t0
 
+    _timed_first("car_kernel", lambda: run(1))
     run(2)
+    floor_s = flops / _VPU_PEAK_F32  # physically fastest possible call
     per_call = _slope(run, n_short, n_long)
+    unreliable = not math.isfinite(per_call) or per_call < floor_s
+    if unreliable:  # one escalation: longer chains average out jitter
+        per_call = _slope(run, 4 * n_short, 4 * n_long)
+        unreliable = not math.isfinite(per_call) or per_call < floor_s
+    if not math.isfinite(per_call):
+        return {"kernel": "car_rollout_fused", "unreliable": True,
+                "reason": "slope unmeasurable (relay jitter)"}
     gflops = flops / per_call / 1e9
-    return {
+    out = {
         "kernel": "car_rollout_fused",
         "flops_per_call": int(flops),
         "ms_per_call": round(per_call * 1e3, 3),
+        "ms_floor_vpu_peak": round(floor_s * 1e3, 3),
         "achieved_gflop_s": round(gflops, 1),
         "vpu_roofline_pct": round(100.0 * gflops * 1e9 / _VPU_PEAK_F32, 1),
         "mxu_roofline_pct": round(100.0 * gflops * 1e9 / _MXU_PEAK_F32, 2),
     }
+    if unreliable:
+        out["unreliable"] = True
+        out["reason"] = "implied utilization exceeds the VPU peak"
+    return out
+
+
+def _entry(details: dict, key: str, fn) -> None:
+    try:
+        v = fn()
+        if isinstance(v, float) and not math.isfinite(v):
+            v = "unmeasurable: slope stayed non-positive after retries"
+        elif isinstance(v, float):
+            v = round(v, 1)
+        details[key] = v
+    except Exception as exc:  # mujoco-free images etc.: skip the detail
+        details[key] = f"skipped: {exc}"
 
 
 def main() -> None:
-    sps_8192 = bench_car_racing(8192)
-    sps_150 = bench_car_racing(150)
+    from mpopis_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    sps_8192, spread_pct = bench_car_racing(8192, spread=True)
     details = {
-        "K150_H50_steps_per_s": round(sps_150, 3),
+        "spread_pct_K8192": round(spread_pct, 1),
         "baseline_steps_per_s": round(BASELINE_STEPS_PER_S, 3),
         "config": "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing",
     }
-    try:
-        details["reacher_on_device_env_steps_per_s"] = round(
-            bench_reacher_on_device(), 0
-        )
-    except Exception as exc:  # mujoco-free images: skip the extra detail
-        details["reacher_on_device_env_steps_per_s"] = f"skipped: {exc}"
-    try:
-        details["cheetah_on_device_env_steps_per_s"] = round(
-            bench_cheetah_on_device(), 0
-        )
-    except Exception as exc:
-        details["cheetah_on_device_env_steps_per_s"] = f"skipped: {exc}"
-    try:
-        details["roofline"] = bench_roofline()
-    except Exception as exc:
-        details["roofline"] = f"skipped: {exc}"
+    _entry(details, "K150_H50_steps_per_s", lambda: bench_car_racing(150))
+    _entry(details, "cmamppi_K8192_steps_per_s",
+           lambda: bench_car_racing(8192, kind="cmamppi"))
+    _entry(details, "reacher_on_device_env_steps_per_s",
+           lambda: round(bench_reacher_on_device(), 0))
+    for task in _KERNEL_TASKS:
+        _entry(details, f"{task}_kernel_env_steps_per_s",
+               lambda t=task: round(bench_kernel_env_steps(t), 0))
+    for task in _E2E_TASKS:
+        _entry(details, f"{task}_e2e_control_steps_per_s",
+               lambda t=task: bench_contact_e2e(t))
+    _entry(details, "roofline", bench_roofline)
     try:
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
         # violation bookkeeping included); trial 2 excludes compiles
@@ -278,13 +381,19 @@ def main() -> None:
         )
     except Exception as exc:
         details["harness_steps_per_s_K150"] = f"skipped: {exc}"
+    details["compile_s"] = COMPILE_TIMES
+    value = round(sps_8192, 3) if math.isfinite(sps_8192) else None
     print(
         json.dumps(
             {
                 "metric": "car_racing_control_steps_per_s_K8192_H50",
-                "value": round(sps_8192, 3),
+                "value": value,
                 "unit": "control_steps/s",
-                "vs_baseline": round(sps_8192 / BASELINE_STEPS_PER_S, 2),
+                "vs_baseline": (
+                    round(sps_8192 / BASELINE_STEPS_PER_S, 2)
+                    if math.isfinite(sps_8192)
+                    else None
+                ),
                 "details": details,
             }
         )

@@ -251,10 +251,12 @@ def swimmer_rollout_costs_tak(
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(K,) trajectory costs for the on-device Swimmer (AD-derived chain
-    dynamics + fluid model traced INSIDE the Pallas kernel — jacfwd/jvp/
-    vjp are trace-time transforms, so the lowered kernel is plain vector
-    code). Oracle: rollout_batch over SwimmerDeviceEnv.step_reward."""
+    """(K,) trajectory costs for the on-device Swimmer. The kernel traces
+    the ANALYTIC substep (swimmer_device's `_rk4_analytic` route: closed-
+    form chain mass/bias + fluid as chain-Jacobian pullbacks) — the
+    AD-derived route (jacfwd/jvp/vjp) stalls the Mosaic compiler and is
+    kept only as the vmap-path cross-check, pinned equal to 3e-15/substep.
+    Oracle: rollout_batch over SwimmerDeviceEnv.step_reward."""
     return _swimmer_rollout_impl(
         state0_x, controls_tak, controls_tak.shape[0], block_k, interpret
     )

@@ -65,6 +65,12 @@ def global_top_k(costs_shard: jnp.ndarray, k: int, axis: str):
     outputs are statically replicated, which JAX's varying-manual-axes
     checker accepts where all_gather is not), then re-top-k'd replicated.
     Returns (values (k,), global_indices (k,)).
+
+    Pad slots carry index −1: if a genuine cost is +inf (a diverged
+    rollout) its negated value ties the always-losing pads and the
+    re-top-k may return a pad slot for that elite — callers must treat
+    index −1 as "no sample" and never gather with it. Finite costs are
+    unaffected (pads strictly lose).
     """
     k_local = costs_shard.shape[0]
     n_shards = lax.axis_size(axis)
@@ -76,7 +82,7 @@ def global_top_k(costs_shard: jnp.ndarray, k: int, axis: str):
         pad = jnp.full((k - m,), -jnp.inf, dtype=costs_shard.dtype)
         neg_vals = jnp.concatenate([neg_vals, pad])
         global_idx = jnp.concatenate(
-            [global_idx, jnp.zeros((k - m,), dtype=jnp.int32)]
+            [global_idx, jnp.full((k - m,), -1, dtype=jnp.int32)]
         )
     val_buf = jnp.full((n_shards, k), -jnp.inf, dtype=costs_shard.dtype)
     val_buf = jnp.where(

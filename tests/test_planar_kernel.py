@@ -99,8 +99,9 @@ def test_fused_rollout_nonzero_contacts():
 
 
 def test_swimmer_fused_rollout_matches_vmap_oracle():
-    """The generic kernel builder also covers the swimmer (AD-derived
-    dynamics traced inside the kernel): interpret-mode == vmap oracle."""
+    """The generic kernel builder also covers the swimmer (ANALYTIC
+    chain dynamics — swimmer_device._rk4_analytic — traced inside the
+    kernel; the AD route stalls Mosaic): interpret-mode == vmap oracle."""
     from mpopis_tpu.models import SwimmerDeviceEnv
 
     env = SwimmerDeviceEnv(dtype=jnp.float32, fused_interpret=True)

@@ -579,6 +579,7 @@ def solve_qp(
         lam0 = jnp.zeros_like(rhs)
     else:
         lam0 = jnp.where(valid, lam0, 0.0)
+    zeros_lam = jnp.zeros_like(rhs)
 
     def outer_body(_i, lam):
         grad = ar_apply(lam) - rhs
@@ -633,7 +634,19 @@ def solve_qp(
             best_lam = jnp.where(take, lam_t, best_lam)
         return best_lam
 
-    lam = jax.lax.fori_loop(0, outer, outer_body, lam0)
+    # Contact-free fast path: when NO row is active anywhere in this batch
+    # (hopper/walker flight phases — inside the fused kernel "batch" is the
+    # whole K-block, under vmap it's one sample), the unique optimum is
+    # λ = 0 exactly (rhs and the warm start are already masked to 0), so
+    # the whole active-set/CG/arc-search iteration is skipped. Bitwise
+    # identical to running the solve: every iterate stays 0.
+    any_active = jnp.any(valid)
+    lam = jax.lax.cond(
+        any_active,
+        lambda l0: jax.lax.fori_loop(0, outer, outer_body, l0),
+        lambda l0: zeros_lam,
+        lam0,
+    )
 
     qfrc = tuple(j_t_apply([lam[r] for r in range(n)]))
     if return_lam:

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from mpopis_tpu.kernels.ais_update import (
+    cma_update_chol,
+    default_interpret,
+    fused_update_enabled,
+    masked_refit_chol,
+    weighted_refit_chol,
+)
 from mpopis_tpu.kernels.linalg import cholesky_lower
 from mpopis_tpu.ops.covariance import (
     shrinkage_cov,
@@ -132,12 +139,17 @@ class MeanCovStrategy(Strategy):
 
     def update(self, carry, key, u_orig, it_index):
         ws = information_theoretic_weights(carry.costs, self.inner_lam)
-        mu, sigma = weighted_mean_and_cov(carry.E, ws)
-        sigma = _jittered(sigma, self.cfg.cov_jitter)
-        return (
-            carry.replace(U=carry.U + mu, chol=cholesky_lower(sigma)),
-            jnp.asarray(False),
-        )
+        if fused_update_enabled(self.dtype):
+            mu = carry.E @ ws
+            chol = weighted_refit_chol(
+                carry.E, ws, mu, corrected=False,
+                jitter=float(self.cfg.cov_jitter),
+                interpret=default_interpret(),
+            )
+        else:
+            mu, sigma = weighted_mean_and_cov(carry.E, ws)
+            chol = cholesky_lower(_jittered(sigma, self.cfg.cov_jitter))
+        return carry.replace(U=carry.U + mu, chol=chol), jnp.asarray(False)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -156,13 +168,17 @@ class PMCStrategy(Strategy):
         k = self.num_samples
         counts = multinomial_resample_counts(key, ws, k)
         mu = carry.E @ (counts / k)
-        xc = carry.E - mu[:, None]
-        sigma = (xc * counts[None, :]) @ xc.T / (k - 1)
-        sigma = _jittered(sigma, self.cfg.cov_jitter)
-        return (
-            carry.replace(U=carry.U + mu, chol=cholesky_lower(sigma)),
-            jnp.asarray(False),
-        )
+        if fused_update_enabled(self.dtype):
+            chol = weighted_refit_chol(
+                carry.E, counts / k, mu, corrected=True,
+                jitter=float(self.cfg.cov_jitter),
+                interpret=default_interpret(),
+            )
+        else:
+            xc = carry.E - mu[:, None]
+            sigma = (xc * counts[None, :]) @ xc.T / (k - 1)
+            chol = cholesky_lower(_jittered(sigma, self.cfg.cov_jitter))
+        return carry.replace(U=carry.U + mu, chol=chol), jnp.asarray(False)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -191,12 +207,18 @@ class CrossEntropyStrategy(Strategy):
         tie_rank = jnp.cumsum(tie.astype(jnp.int32))
         mask = (lt | (tie & (tie_rank <= n_take))).astype(costs.dtype)
         mu = (carry.E @ mask) / m
-        sigma = shrinkage_cov_masked(carry.E, mask, m, self.cfg.sigma_est)
-        sigma = _jittered(sigma, self.cfg.cov_jitter)
-        new = carry.replace(
-            U=carry.U + mu,
-            chol=cholesky_lower(sigma),
-        )
+        if fused_update_enabled(self.dtype):
+            # one Pallas program: masked shrinkage refit + jitter + Cholesky
+            # (round-2 measurement: this chain was 0.5 ms of serialized
+            # small-linalg latency per iteration — the two-round bottleneck)
+            chol = masked_refit_chol(
+                carry.E, mask, mu, m, self.cfg.sigma_est,
+                float(self.cfg.cov_jitter), interpret=default_interpret(),
+            )
+        else:
+            sigma = shrinkage_cov_masked(carry.E, mask, m, self.cfg.sigma_est)
+            chol = cholesky_lower(_jittered(sigma, self.cfg.cov_jitter))
+        new = carry.replace(U=carry.U + mu, chol=chol)
         return new, stop
 
 
@@ -281,10 +303,58 @@ class CMAStrategy(Strategy):
 
         order = jnp.argsort(carry.costs)
         elite_idx = order[: self.m_elite]
-        elite_e = carry.E[:, elite_idx]
         elite_costs = carry.costs[elite_idx]
         stop = jnp.max(jnp.abs(jnp.diff(elite_costs))) < cfg.elite_stop_tol
 
+        kk = self.num_samples
+        if (
+            fused_update_enabled(self.dtype)
+            and cfg.cma_rank_mu_quirk
+            and kk <= cs * self.m_elite  # svals index-decomposition bound
+        ):
+            # δw without the (cs, m_elite) elite-column gather: scatter the
+            # rank weights back to sample order, then one MXU matmul.
+            rank_w = jnp.where(
+                jnp.arange(kk) < self.m_elite, ws, jnp.zeros_like(ws)
+            )
+            wp = jnp.zeros((kk,), self.dtype).at[order].set(rank_w)
+            dw = carry.E @ wp
+            u_new = carry.U + sigma_s * dw
+            # svals = ds_flat[order] decomposed: a column-major linear index
+            # i into the (cs, m_elite) elite matrix is elite_e[i % cs,
+            # i // cs] = E[i % cs, order[i // cs]], valid because every
+            # i = order[j] <= K-1 < cs*m_elite (checked statically above).
+            it_f = it_index.astype(self.dtype)
+            svals = carry.E[order % cs, order[order // cs]] / sigma_s
+            consts_t = (
+                ("c1", float(self.c1)),
+                ("c_Sigma", float(self.c_Sigma)),
+                ("c_mu", float(self.c_mu)),
+                ("c_sigma", float(self.c_sigma)),
+                ("d_sigma", float(self.d_sigma)),
+                ("e_norm", float(self.e_norm)),
+                ("mu_eff", float(self.mu_eff)),
+            )
+            chol_new, Sigma_new, p_sigma, p_Sigma, sigma_new = cma_update_chol(
+                Sigma, dw, ex["p_sigma"], ex["p_Sigma"], svals, ws,
+                sigma_s, it_f, consts_t, jitter=float(cfg.cov_jitter),
+                guards=cfg.cma_stability_guards,
+                update_chol=cfg.opt_its > 1,
+                interpret=default_interpret(),
+            )
+            if cfg.opt_its <= 1:
+                chol_new = carry.chol
+            new = carry.replace(
+                U=u_new,
+                chol=chol_new,
+                extra=dict(
+                    Sigma=Sigma_new, sigma=sigma_new,
+                    p_sigma=p_sigma, p_Sigma=p_Sigma,
+                ),
+            )
+            return new, stop
+
+        elite_e = carry.E[:, elite_idx]
         ds = elite_e / sigma_s  # δs (ref :572)
         dw = elite_e @ ws[: self.m_elite]  # δw (ref :573-576)
         u_new = carry.U + sigma_s * dw

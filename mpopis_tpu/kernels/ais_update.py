@@ -117,7 +117,6 @@ def _shrink_finalize(a, b, n: int, m: int, method: str, dtype):
     eye = _eye_mask(n, dtype)
     tiny = jnp.finfo(dtype).tiny
     s = a / m
-    diag_s = jnp.sum(s * eye, axis=1)  # (n,)
     if method == "mle":
         return s
     if method == "lw":
@@ -126,7 +125,9 @@ def _shrink_finalize(a, b, n: int, m: int, method: str, dtype):
         num = jnp.sum(var_s) - jnp.sum(var_s * eye)
         den = jnp.sum(s * s) - jnp.sum((s * eye) ** 2)
         lam = jnp.clip(num / jnp.maximum(den, tiny), 0.0, 1.0)
-        return (1.0 - lam) * s + lam * (diag_s[:, None] * eye)
+        # diag(S) as a matrix is just s * eye — stays 2D (Mosaic relayout
+        # of (n,) intermediates broke the rblw lowering; see below)
+        return (1.0 - lam) * s + lam * (s * eye)
     if method == "ss":
         # Standardization commutes with the sample-sum matmuls:
         # Xs Xs^T = D^-1 A D^-1 and (Xs^2)(Xs^2)^T = D^-2 B D^-2 with
@@ -147,9 +148,12 @@ def _shrink_finalize(a, b, n: int, m: int, method: str, dtype):
         v_mle = jnp.sum(a * eye, axis=1) / m
         sd_mle = jnp.sqrt(jnp.maximum(v_mle, tiny))
         return r_shrunk * sd_mle[:, None] * sd_mle[None, :]
-    # rblw / oas: diagonal-common-variance target tr(S)/p * I
+    # rblw / oas: diagonal-common-variance target tr(S)/p * I. All
+    # reductions stay (n,n)-2D: reducing an (n,) intermediate to a scalar
+    # hit a Mosaic relayout error ("Non-singleton logical dimension is
+    # replicated in destination but not in source") on the real TPU.
     p = n
-    tr_s = jnp.sum(diag_s)
+    tr_s = jnp.sum(s * eye)
     tr_s2 = jnp.sum(s * s)
     if method == "rblw":
         num = ((m - 2.0) / m) * tr_s2 + tr_s**2
@@ -402,7 +406,10 @@ def _cma_kernel(
     sigma_out_ref[...] = Sigma_new
     ps_out_ref[...] = p_sigma
     pS_out_ref[...] = p_Sigma
-    sig_s_ref[0, 0] = sigma_new
+    # Mosaic cannot store rank-0 scalars to VMEM ("Cannot store scalars to
+    # VMEM", caught on the real TPU — interpret mode accepts it silently);
+    # broadcast to the (1, 1) block instead.
+    sig_s_ref[...] = jnp.broadcast_to(sigma_new, (1, 1)).astype(dtype)
     if update_chol:
         l = _chol_inplace(_jitter_mat(Sigma_new, n, jitter), n)
         chol_ref[...] = sigma_new * l

@@ -296,6 +296,7 @@ def simulate_cartpole(**kwargs):
 
 
 ON_DEVICE_MUJOCO_TASKS = (
+    "Ant-v4",
     "Reacher-v4",
     "Swimmer-v4",
     "InvertedPendulum-v4",
@@ -309,9 +310,10 @@ ON_DEVICE_MUJOCO_TASKS = (
 def simulate_mujoco_on_device(task: str, **kwargs):
     """MuJoCo task with ON-DEVICE dynamics (no host engine): the K×T
     rollout fan-out runs on the TPU like the car models. Available for the
-    contact-free tasks with closed-form dynamics AND the
+    contact-free tasks with closed-form dynamics, the
     HalfCheetah/Hopper/Walker2d contact pipeline (models/planar_contact.py,
-    fused Pallas rollouts on TPU). Contact-free tasks match mj_step to
+    fused Pallas rollouts on TPU) AND the 3D spatial-contact family
+    (models/spatial_contact.py — Ant). Contact-free tasks match mj_step to
     solver tolerance; contact tasks default to control-grade solver
     iterations — pass solver_iters=(6, 40) for mj_step-parity-grade
     trajectories. `output_acts_file=True` exports the executed action
@@ -321,6 +323,7 @@ def simulate_mujoco_on_device(task: str, **kwargs):
     import jax.numpy as jnp
 
     from mpopis_tpu.models import (
+        AntDeviceEnv,
         CheetahDeviceEnv,
         HopperDeviceEnv,
         InvertedDoublePendulumDeviceEnv,
@@ -331,6 +334,7 @@ def simulate_mujoco_on_device(task: str, **kwargs):
     )
 
     registry = {
+        "Ant-v4": AntDeviceEnv,
         "Reacher-v4": ReacherDeviceEnv,
         "Swimmer-v4": SwimmerDeviceEnv,
         "InvertedPendulum-v4": InvertedPendulumDeviceEnv,

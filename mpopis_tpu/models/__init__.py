@@ -1,3 +1,4 @@
+from mpopis_tpu.models.ant_device import AntDeviceEnv
 from mpopis_tpu.models.base import Env, EnvState, make_state
 from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, step_car_state
 from mpopis_tpu.models.cartpole import CartPoleEnv
@@ -16,6 +17,7 @@ from mpopis_tpu.models.rollout import rollout_batch, rollout_one
 from mpopis_tpu.models.track import Track, distance_query, track_path
 
 __all__ = [
+    "AntDeviceEnv",
     "Env",
     "EnvState",
     "make_state",

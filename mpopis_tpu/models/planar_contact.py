@@ -575,6 +575,19 @@ def solve_qp(
         a = a_apply([lam[r] for r in range(n)])
         return jnp.stack(a) + r_diag * lam
 
+    lam = _qp_iterate(ar_apply, rhs, valid, lam0, outer, cg)
+    qfrc = tuple(j_t_apply([lam[r] for r in range(n)]))
+    if return_lam:
+        return qfrc, lam
+    return qfrc
+
+
+def _qp_iterate(ar_apply, rhs, valid, lam0, outer: int, cg: int):
+    """The fixed-iteration active-set/CG/arc-search core of solve_qp,
+    parameterized over the (A+R)·λ application so the scalar-sparse
+    (planar) and dense-stacked-J (spatial) row representations share one
+    verified iteration. Returns the multiplier block λ (same shape as
+    rhs)."""
     if lam0 is None:
         lam0 = jnp.zeros_like(rhs)
     else:
@@ -641,14 +654,58 @@ def solve_qp(
     # the whole active-set/CG/arc-search iteration is skipped. Bitwise
     # identical to running the solve: every iterate stays 0.
     any_active = jnp.any(valid)
-    lam = jax.lax.cond(
+    return jax.lax.cond(
         any_active,
         lambda l0: jax.lax.fori_loop(0, outer, outer_body, l0),
         lambda l0: zeros_lam,
         lam0,
     )
 
-    qfrc = tuple(j_t_apply([lam[r] for r in range(n)]))
+
+def solve_qp_dense(
+    rows, zero, l_chol, a_smooth, outer: int, cg: int, n_dof: int,
+    lam0=None, return_lam: bool = False,
+):
+    """solve_qp with the row Jacobians STACKED into one (n_rows, n_dof)
+    array so each J/Jᵀ application is a single reduction instead of
+    n_rows×n_dof scalar HLO ops. Same rows contract, same _qp_iterate
+    core, same answer; built for the spatial (3D) family whose scalar
+    graphs (108 rows × 14 dofs × RK4) made XLA CPU compiles take tens of
+    minutes — the dense form compiles ~an order of magnitude faster and
+    is K-vectorized identically under vmap."""
+    n = len(rows)
+    shp = jnp.shape(rows[0][1])
+
+    def _mat(v):
+        if isinstance(v, (int, float)):
+            return jnp.broadcast_to(jnp.asarray(v, dtype=zero.dtype), shp)
+        return jnp.broadcast_to(v, shp)
+
+    jmat = jnp.stack([
+        jnp.stack([_mat(j[d]) for d in range(n_dof)]) for j, *_ in rows
+    ])  # (n_rows, n_dof) + sample shape
+    a_sm = jnp.stack([_mat(a) for a in a_smooth])
+    rhs = jnp.stack([
+        jnp.where(act, aref - jnp.sum(jmat[r] * a_sm, axis=0), 0.0)
+        for r, (_j, aref, _r, act) in enumerate(rows)
+    ])
+    r_diag = jnp.stack([_mat(r[2]) for r in rows])
+    valid = jnp.stack([jnp.broadcast_to(r[3], shp) for r in rows])
+
+    def j_t_apply(lam):  # (n_rows,)+S -> (n_dof,)+S
+        return jnp.sum(jmat * lam[:, None], axis=0)
+
+    def ar_apply(lam):
+        u = j_t_apply(lam)
+        w = chol_solve_unrolled(
+            l_chol, [u[d] for d in range(n_dof)], n_dof
+        )
+        a = jnp.sum(jmat * jnp.stack(w)[None], axis=1)
+        return a + r_diag * lam
+
+    lam = _qp_iterate(ar_apply, rhs, valid, lam0, outer, cg)
+    u = j_t_apply(lam)
+    qfrc = tuple(u[d] for d in range(n_dof))
     if return_lam:
         return qfrc, lam
     return qfrc

@@ -1,0 +1,136 @@
+"""Probe a SPATIAL gymnasium MuJoCo model and dump the constants needed
+by an on-device (models/spatial_contact.py) implementation.
+
+Usage: python scripts/probe_spatial.py Ant-v4
+
+Prints a Python-literal constants block (body table with full body-frame
+inertias, joint descriptors, floor-contact candidates with capsule axes,
+limits, invweights, actuator map) plus diagnostic checks on the live
+contact structure. The 3D sibling of scripts/probe_planar.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _quat_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _t(a):
+    return "(" + ", ".join(repr(float(x)) for x in np.asarray(a).ravel()) + ")"
+
+
+def main(env_name: str) -> None:
+    import gymnasium
+    import mujoco
+
+    env = gymnasium.make(env_name)
+    m = env.unwrapped.model
+    print(f"# === {env_name} ===")
+    print(f"# timestep={m.opt.timestep} integrator={m.opt.integrator} "
+          f"(0=Euler 1=RK4) gravity={m.opt.gravity[2]} cone={m.opt.cone}")
+    print(f"# frame_skip={env.unwrapped.frame_skip} nq={m.nq} nv={m.nv} "
+          f"nu={m.nu} nbody={m.nbody}")
+    print(f"# qpos0={[float(x) for x in m.qpos0]}")
+
+    jnt_kind = {0: "free", 2: "slide", 3: "hinge"}
+    print("_BODIES = (  # parent, pos, quat, joints, com(ipos), mass, "
+          "inertia(full body-frame 6)")
+    for b in range(1, m.nbody):
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b)
+        riq = _quat_mat(m.body_iquat[b])
+        ifull = riq @ np.diag(m.body_inertia[b]) @ riq.T
+        i6 = (ifull[0, 0], ifull[0, 1], ifull[0, 2],
+              ifull[1, 1], ifull[1, 2], ifull[2, 2])
+        joints = []
+        jadr = m.body_jntadr[b]
+        for j in range(jadr, jadr + m.body_jntnum[b]):
+            joints.append(
+                f"SJoint(kind={jnt_kind[int(m.jnt_type[j])]!r}, "
+                f"dof={int(m.jnt_dofadr[j])}, qadr={int(m.jnt_qposadr[j])}, "
+                f"axis={_t(m.jnt_axis[j])}, anchor={_t(m.jnt_pos[j])})"
+            )
+        print(f"    # {name}")
+        print(f"    ({int(m.body_parentid[b]) - 1}, {_t(m.body_pos[b])}, "
+              f"{_t(m.body_quat[b])}, ({', '.join(joints)}{',' if joints else ''}), "
+              f"{_t(m.body_ipos[b])}, {float(m.body_mass[b])!r}, {_t(i6)}),")
+    print(")")
+
+    # floor-contact candidates: every geom that can collide with the plane
+    plane = [g for g in range(m.ngeom) if m.geom_type[g] == 0]
+    assert len(plane) == 1, "expected exactly one floor plane"
+    pg = plane[0]
+    assert abs(m.geom_pos[pg][2]) < 1e-12 and m.geom_quat[pg][0] == 1.0, \
+        "floor must be the z=0 plane"
+    print("_CONTACTS = (  # body(0-based), local center, radius, mu, "
+          "includemargin, solimp, capsule axis_local (None=sphere)")
+    for g in range(m.ngeom):
+        if g == pg:
+            continue
+        c1, a1 = m.geom_contype[pg], m.geom_conaffinity[pg]
+        c2, a2 = m.geom_contype[g], m.geom_conaffinity[g]
+        if not ((c1 & a2) or (c2 & a1)):
+            continue
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+        b = int(m.geom_bodyid[g])
+        mu = max(m.geom_friction[pg][0], m.geom_friction[g][0])
+        margin = float(m.geom_margin[pg] + m.geom_margin[g])
+        solimp = _t(m.geom_solimp[g][:3])
+        gr = _quat_mat(m.geom_quat[g])
+        if m.geom_type[g] == 2:  # sphere
+            print(f"    # {name} (sphere)")
+            print(f"    ({b - 1}, {_t(m.geom_pos[g])}, "
+                  f"{float(m.geom_size[g][0])!r}, {float(mu)!r}, {margin!r}, {solimp}, None),")
+        elif m.geom_type[g] == 3:  # capsule
+            hl = m.geom_size[g][1]
+            axis = gr[:, 2]
+            for sgn in (1.0, -1.0):
+                end = m.geom_pos[g] + sgn * hl * axis
+                print(f"    # {name} end {'+' if sgn > 0 else '-'}")
+                print(f"    ({b - 1}, {_t(end)}, {float(m.geom_size[g][0])!r}, "
+                      f"{float(mu)!r}, {margin!r}, {solimp}, {_t(axis)}),")
+        else:
+            print(f"    # SKIPPED geom {name} type {m.geom_type[g]} "
+                  f"(unsupported vs plane)")
+    print(")")
+
+    print("_LIMITS = (  # dof, lo, hi, solimp, margin")
+    for j in range(m.njnt):
+        if m.jnt_limited[j]:
+            print(f"    ({int(m.jnt_dofadr[j])}, {float(m.jnt_range[j][0])!r}, "
+                  f"{float(m.jnt_range[j][1])!r}, {_t(m.jnt_solimp[j][:3])}, "
+                  f"{float(m.jnt_margin[j])!r}),")
+    print(")")
+
+    print(f"_DAMPING = {_t(m.dof_damping)}")
+    print(f"_ARMATURE = {_t(m.dof_armature)}")
+    stiff = np.zeros(m.nv)
+    springref = np.zeros(m.nv)
+    for j in range(m.njnt):
+        if m.jnt_type[j] in (2, 3) and m.jnt_stiffness[j] != 0.0:
+            stiff[m.jnt_dofadr[j]] = m.jnt_stiffness[j]
+            springref[m.jnt_dofadr[j]] = m.qpos_spring[m.jnt_qposadr[j]]
+    print(f"_STIFFNESS = {_t(stiff)}")
+    print(f"_SPRINGREF = {_t(springref)}")
+    print(f"_DOF_INVWEIGHT0 = {_t(m.dof_invweight0)}")
+    print(f"_BODY_INVWEIGHT0 = {_t(m.body_invweight0[1:, 0])}")
+    print("_ACTUATORS = (  # (dof, gear) per actuator, XML order")
+    for a in range(m.nu):
+        j = m.actuator_trnid[a, 0]
+        print(f"    ({int(m.jnt_dofadr[j])}, {float(m.actuator_gear[a][0])!r}),"
+              f"  # {mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_ACTUATOR, a)}")
+    print(")")
+    env.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "Ant-v4")

@@ -23,3 +23,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The spatial-contact suites (Ant) compile very large scalar graphs; the
+# persistent cache makes every suite run after the first start in seconds.
+from mpopis_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()

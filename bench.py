@@ -167,7 +167,42 @@ _KERNEL_TASKS = {
 _E2E_TASKS = {
     "cheetah": ("CheetahDeviceEnv", 2048, 15, 3, 0.1, 0.25),
     "swimmer": ("SwimmerDeviceEnv", 4096, 25, 3, 0.1, 0.25),
+    # Ant runs the XLA vmap path (3D spatial-contact family, no Pallas
+    # kernel yet); smaller fan-out keeps the relay compile bounded.
+    "ant": ("AntDeviceEnv", 1024, 10, 2, 1.0, 0.25),
 }
+
+
+def bench_device_rate(env, cfg, cov, tag: str, n: int = 30):
+    """DEVICE-RATE control steps/s: n MPC steps inside ONE jitted
+    lax.scan, so the number contains zero per-step host/relay dispatch.
+    This is the program's true per-step cost (what a directly-attached
+    deployment gets); the slope-based `_mpc_steps_per_s` entries remain
+    the round-over-round-comparable host-loop numbers."""
+    import jax
+
+    from mpopis_tpu.policies import make_policy
+
+    pol = make_policy(env, cfg, cov_mat=cov, jit=False)
+
+    @jax.jit
+    def run(s, ps):
+        def body(c, _):
+            s, ps = c
+            a, ps2, _ = pol.step(s, ps)
+            return (env.step(s, a), ps2), None
+        (s, ps), _ = jax.lax.scan(body, (s, ps), None, length=n)
+        return s.x
+
+    s, ps = env.reset(), pol.init_state(1)
+    x = _timed_first(tag, lambda: np.asarray(run(s, ps)))
+    assert bool(np.isfinite(x).all())
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(s, ps))
+        ts.append(time.perf_counter() - t0)
+    return n / min(ts)
 
 
 def bench_kernel_env_steps(task: str):
@@ -367,6 +402,42 @@ def main() -> None:
     for task in _E2E_TASKS:
         _entry(details, f"{task}_e2e_control_steps_per_s",
                lambda t=task: bench_contact_e2e(t))
+
+    def _dr(kind="cemppi", K=8192):
+        import jax.numpy as jnp
+
+        from mpopis_tpu.models import CarRacingEnv
+        from mpopis_tpu.policies import PolicyConfig
+
+        env = CarRacingEnv(dtype=jnp.float32)
+        cfg = PolicyConfig(kind=kind, num_samples=K, horizon=50, lam=10.0,
+                           alpha=1.0, opt_its=10, ce_elite_threshold=0.8,
+                           sigma_est="ss")
+        return bench_device_rate(env, cfg, np.diag([0.0625, 0.1]),
+                                 f"devicerate_car_{kind}")
+
+    _entry(details, "devicerate_car_cemppi_K8192_steps_per_s", _dr)
+    _entry(details, "devicerate_car_cmamppi_K8192_steps_per_s",
+           lambda: _dr("cmamppi"))
+
+    def _dr_task(task):
+        import importlib
+
+        import jax.numpy as jnp
+
+        from mpopis_tpu.policies import PolicyConfig
+
+        cls_name, K, H, its, lam, cov = _E2E_TASKS[task]
+        models = importlib.import_module("mpopis_tpu.models")
+        env = getattr(models, cls_name)(dtype=jnp.float32)
+        cfg = PolicyConfig(kind="cemppi", num_samples=K, horizon=H, lam=lam,
+                           opt_its=its, sigma_est="mle")
+        return bench_device_rate(env, cfg, [cov] * env.action_dim,
+                                 f"devicerate_{task}")
+
+    for task in _E2E_TASKS:
+        _entry(details, f"devicerate_{task}_e2e_steps_per_s",
+               lambda t=task: _dr_task(t))
     _entry(details, "roofline", bench_roofline)
     try:
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/

@@ -297,6 +297,7 @@ def simulate_cartpole(**kwargs):
 
 ON_DEVICE_MUJOCO_TASKS = (
     "Ant-v4",
+    "Pusher-v4",
     "Reacher-v4",
     "Swimmer-v4",
     "InvertedPendulum-v4",
@@ -328,6 +329,7 @@ def simulate_mujoco_on_device(task: str, **kwargs):
         HopperDeviceEnv,
         InvertedDoublePendulumDeviceEnv,
         InvertedPendulumDeviceEnv,
+        PusherDeviceEnv,
         ReacherDeviceEnv,
         SwimmerDeviceEnv,
         Walker2dDeviceEnv,
@@ -335,6 +337,7 @@ def simulate_mujoco_on_device(task: str, **kwargs):
 
     registry = {
         "Ant-v4": AntDeviceEnv,
+        "Pusher-v4": PusherDeviceEnv,
         "Reacher-v4": ReacherDeviceEnv,
         "Swimmer-v4": SwimmerDeviceEnv,
         "InvertedPendulum-v4": InvertedPendulumDeviceEnv,

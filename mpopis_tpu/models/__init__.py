@@ -6,6 +6,7 @@ from mpopis_tpu.models.cheetah_device import CheetahDeviceEnv
 from mpopis_tpu.models.hopper_device import HopperDeviceEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
+from mpopis_tpu.models.pusher_device import PusherDeviceEnv
 from mpopis_tpu.models.pendulum_device import (
     InvertedDoublePendulumDeviceEnv,
     InvertedPendulumDeviceEnv,
@@ -32,6 +33,7 @@ __all__ = [
     "MultiCarRacingEnv",
     "InvertedDoublePendulumDeviceEnv",
     "InvertedPendulumDeviceEnv",
+    "PusherDeviceEnv",
     "ReacherDeviceEnv",
     "SwimmerDeviceEnv",
     "Walker2dDeviceEnv",

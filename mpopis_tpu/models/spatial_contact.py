@@ -264,6 +264,36 @@ class SCContact:
     margin: float
     solimp: tuple[float, float, float]
     axis_local: tuple[float, float, float] | None = None
+    # 3 => 4 pyramidal rows; 1 => a single frictionless normal row
+    # (probed on Pusher: R = (1-imp)/imp * sum(bw), no pyramid factor)
+    condim: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SCPairCylinder:
+    """Capsule (on body1) vs UPRIGHT cylinder (on body2) — the Pusher
+    arm-object interaction. Valid when body2's kinematic chain has no
+    rotational dofs (the cylinder axis stays world-z; asserted by the
+    probe script). MuJoCo routes this geom pair through its convex
+    (libccd MPR) collider; the analytic treatment here takes the closest
+    point of the capsule segment to the cylinder AXIS segment and
+    measures point-vs-solid-cylinder from it (side / cap / rim regions)
+    — matching MPR in the side region (a swept-sphere vs lateral-surface
+    contact, the pushing configuration; MPR itself carries a ~1e-6
+    tolerance), approximate near the rim/caps."""
+
+    body1: int
+    a1: tuple[float, float, float]  # capsule segment ends, body1 frame
+    b1: tuple[float, float, float]
+    r1: float
+    body2: int
+    center2: tuple[float, float, float]  # cylinder center, body2 frame
+    r2: float
+    hh2: float  # half height
+    mu: float
+    margin: float
+    solimp: tuple[float, float, float]
+    condim: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,13 +323,20 @@ class SpatialContactModel:
     timestep: float
     integrator: str  # "rk4" | "euler_implicit"
     gravity: float = 9.81
+    floor_z: float = 0.0  # height of the contact plane (Pusher: -0.325)
+    pairs: tuple[SCPairCylinder, ...] = ()
 
     @property
     def n_rows(self) -> int:
-        """Limit rows + 4 pyramid rows per contact (3D cones never
-        degenerate into the planar family's mergeable pure-normal
-        pair — both tangents are live)."""
-        return len(self.limits) + 4 * len(self.contacts)
+        """Limit rows + 4 pyramid rows per condim-3 contact (3D cones
+        never degenerate into the planar family's mergeable pure-normal
+        pair — both tangents are live) + 1 normal row per condim-1
+        contact/pair."""
+        return (
+            len(self.limits)
+            + sum(4 if c.condim == 3 else 1 for c in self.contacts)
+            + sum(4 if p.condim == 3 else 1 for p in self.pairs)
+        )
 
     @property
     def chains(self):
@@ -599,12 +636,34 @@ def contact_rows(model: SpatialContactModel, q, qv, zero, fr: Frames = None):
         j[lim.dof] = sgn
         rows.append((j, aref, r_reg, pos < 0.0))
 
+    def _dezero(j):
+        # free-joint translation columns produce CONSTANT nonzero
+        # entries (e.g. the z dof's 1.0) — only a constant ZERO is a
+        # structural zero
+        return [zero if _is_const(e) and e == 0.0 else e for e in j]
+
     for con in model.contacts:
         bi = con.body
         p = _vadd(fr.origin[bi], _rvec(fr.rot[bi], con.local))
-        dist = p[2] - con.radius
+        dist = (p[2] - model.floor_z) - con.radius
         active = dist < con.margin
-        cp = (p[0], p[1], 0.5 * dist)
+        cp = (p[0], p[1], model.floor_z + 0.5 * dist)
+        cols = _dof_columns(model, fr, bi, cp)
+        jn = [0.0] * n
+        for d, jv, _jw in cols:
+            jn[d] = jv[2]
+        d0, dmax, width = con.solimp
+        pos_m = dist - con.margin
+        imp = impedance(pos_m, d0=d0, dmax=dmax, width=width)
+        kc, bc = model.kb(dmax)
+        mu = con.mu
+        jv_n = _jdotv(jn, qv, n)
+        base_aref = -kc * imp * pos_m
+        if con.condim == 1:  # frictionless: single normal row, no
+            # pyramid R factor (probed on Pusher efc_R)
+            r_reg = (1.0 - imp) / imp * model.body_invweight0[bi]
+            rows.append((_dezero(jn), -bc * jv_n + base_aref, r_reg, active))
+            continue
         if con.axis_local is None:
             t1 = (0.0, 1.0, 0.0)  # mju_makeFrame for n = +z (probed)
         else:
@@ -614,39 +673,122 @@ def contact_rows(model: SpatialContactModel, q, qv, zero, fr: Frames = None):
             )
             t1 = (a_w[0] / nrm, a_w[1] / nrm, 0.0)
         t2 = (-t1[1], t1[0], 0.0)  # n × t1 for n = +z
-        cols = _dof_columns(model, fr, bi, cp)
-        jn = [0.0] * n
         jt1 = [0.0] * n
         jt2 = [0.0] * n
         for d, jv, _jw in cols:
-            jn[d] = jv[2]
             jt1[d] = _dot3(jv, t1)
             jt2[d] = _dot3(jv, t2)
-        d0, dmax, width = con.solimp
-        pos_m = dist - con.margin
-        imp = impedance(pos_m, d0=d0, dmax=dmax, width=width)
-        kc, bc = model.kb(dmax)
-        mu = con.mu
         r_factor = 2.0 * mu * mu * (1.0 + mu * mu)
         r_reg = (
             (1.0 - imp) / imp * model.body_invweight0[bi] * r_factor
         )
-        jv_n = _jdotv(jn, qv, n)
         jv_t1 = _jdotv(jt1, qv, n)
         jv_t2 = _jdotv(jt2, qv, n)
-        base_aref = -kc * imp * pos_m
         for jt, jv_t in ((jt1, jv_t1), (jt2, jv_t2)):
             for sgn in (1.0, -1.0):
-                j = []
-                for d in range(n):
-                    e = _add(jn[d], _mul(sgn * mu, jt[d]))
-                    # free-joint translation columns produce CONSTANT
-                    # nonzero entries (e.g. the z dof's 1.0) — only a
-                    # constant ZERO is a structural zero
-                    j.append(zero if _is_const(e) and e == 0.0 else e)
+                j = [
+                    _add(jn[d], _mul(sgn * mu, jt[d])) for d in range(n)
+                ]
                 aref = -bc * (jv_n + sgn * mu * jv_t) + base_aref
-                rows.append((j, aref, r_reg, active))
+                rows.append((_dezero(j), aref, r_reg, active))
+
+    for pair in model.pairs:
+        dist, nvec, cp = _capsule_cylinder(model, fr, pair)
+        active = dist < pair.margin
+        # J = n · (v_body2(cp) − v_body1(cp)); chains from a common
+        # world root, so emit both bodies' columns with signs (shared
+        # ancestor dofs cancel exactly when they overlap)
+        j = [0.0] * n
+        for d, jv, _jw in _dof_columns(model, fr, pair.body1, cp):
+            j[d] = _sub(j[d], _dot3(jv, nvec))
+        for d, jv, _jw in _dof_columns(model, fr, pair.body2, cp):
+            j[d] = _add(j[d], _dot3(jv, nvec))
+        d0, dmax, width = pair.solimp
+        pos_m = dist - pair.margin
+        imp = impedance(pos_m, d0=d0, dmax=dmax, width=width)
+        kc, bc = model.kb(dmax)
+        r_reg = (1.0 - imp) / imp * (
+            model.body_invweight0[pair.body1]
+            + model.body_invweight0[pair.body2]
+        )
+        jv_n = _jdotv(j, qv, n)
+        aref = -bc * jv_n - kc * imp * pos_m
+        rows.append((_dezero(j), aref, r_reg, active))
     return rows
+
+
+def _capsule_cylinder(model: SpatialContactModel, fr: Frames,
+                      pair: SCPairCylinder):
+    """Analytic capsule-vs-upright-cylinder contact: returns
+    (dist, normal body1→body2, contact point). See SCPairCylinder."""
+    o1, r1m = fr.origin[pair.body1], fr.rot[pair.body1]
+    a = _vadd(o1, _rvec(r1m, pair.a1))
+    b = _vadd(o1, _rvec(r1m, pair.b1))
+    c = _vadd(fr.origin[pair.body2],
+              _rvec(fr.rot[pair.body2], pair.center2))
+    hh, r2 = pair.hh2, pair.r2
+    # closest points between the capsule segment ab and the cylinder
+    # AXIS segment c ± hh·ẑ (Ericson, branchless — the 3D sibling of the
+    # planar pair collider; the axis stays world-z because body2's chain
+    # has no rotational dofs)
+    d1 = _vsub(b, a)
+    p2a = (c[0], c[1], c[2] - hh)
+    rvec = _vsub(a, p2a)
+    la = _dot3(d1, d1)
+    le = 4.0 * hh * hh
+    lf = 2.0 * hh * rvec[2]
+    lc = _dot3(d1, rvec)
+    lb = 2.0 * hh * d1[2]
+    denom = la * le - lb * lb
+    s1 = jnp.where(
+        denom > 1e-12 * la * le,
+        jnp.clip((lb * lf - lc * le) / jnp.maximum(denom, 1e-30), 0.0, 1.0),
+        0.0,
+    )
+    t_raw = (lb * s1 + lf) / le
+    s1 = jnp.where(
+        t_raw < 0.0,
+        jnp.clip(-lc / jnp.maximum(la, 1e-30), 0.0, 1.0),
+        jnp.where(
+            t_raw > 1.0,
+            jnp.clip((lb - lc) / jnp.maximum(la, 1e-30), 0.0, 1.0),
+            s1,
+        ),
+    )
+    p1 = _vadd(a, _vscale(s1, d1))  # closest capsule-axis point
+    # point-vs-solid-cylinder from p1 (side / cap / rim regions)
+    dx = p1[0] - c[0]
+    dy = p1[1] - c[1]
+    dzs = p1[2] - c[2]
+    dr = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-24))
+    er = dr - r2
+    ez = jnp.abs(dzs) - hh
+    inside = (er < 0.0) & (ez < 0.0)
+    erp = jnp.maximum(er, 0.0)
+    ezp = jnp.maximum(ez, 0.0)
+    d_out = jnp.sqrt(jnp.maximum(erp * erp + ezp * ezp, 1e-24))
+    d_pt = jnp.where(inside, jnp.maximum(er, ez), d_out)
+    # normal from the CYLINDER surface toward p1: radial on the side
+    # wall, vertical on the caps, mixed on the rim
+    zsign = jnp.where(dzs >= 0.0, 1.0, -1.0)
+    rad_x, rad_y = dx / dr, dy / dr
+    use_radial = er > ez  # inside: shallower exit is the normal
+    nx = jnp.where(inside, jnp.where(use_radial, rad_x, 0.0),
+                   erp * rad_x / d_out)
+    ny = jnp.where(inside, jnp.where(use_radial, rad_y, 0.0),
+                   erp * rad_y / d_out)
+    nz = jnp.where(inside, jnp.where(use_radial, 0.0, zsign),
+                   ezp * zsign / d_out)
+    dist = d_pt - pair.r1
+    # MuJoCo frame convention: the normal points geom1 (capsule) →
+    # geom2 (cylinder) — opposite the surface→p1 direction above
+    nvec = (-nx, -ny, -nz)
+    cp = (
+        p1[0] + nvec[0] * (pair.r1 + 0.5 * dist),
+        p1[1] + nvec[1] * (pair.r1 + 0.5 * dist),
+        p1[2] + nvec[2] * (pair.r1 + 0.5 * dist),
+    )
+    return dist, nvec, cp
 
 
 def _jdotv(j, qv, n):

@@ -30,15 +30,27 @@ def _t(a):
 
 
 def main(env_name: str) -> None:
-    import gymnasium
     import mujoco
 
-    env = gymnasium.make(env_name)
-    m = env.unwrapped.model
+    try:
+        import gymnasium
+
+        env = gymnasium.make(env_name)
+        m = env.unwrapped.model
+        frame_skip = env.unwrapped.frame_skip
+    except ImportError:
+        # Pusher-v4 refuses to build under mujoco>=3 (Farama #950); the
+        # parity target is the XML under the INSTALLED mujoco (what the
+        # native host engine steps), so load it directly.
+        from mpopis_tpu.models.mujoco_host import _TASKS, _gym_asset
+
+        env = None
+        m = mujoco.MjModel.from_xml_path(_gym_asset(_TASKS[env_name][0]))
+        frame_skip = 5  # gymnasium pusher_v4.py frame_skip
     print(f"# === {env_name} ===")
     print(f"# timestep={m.opt.timestep} integrator={m.opt.integrator} "
           f"(0=Euler 1=RK4) gravity={m.opt.gravity[2]} cone={m.opt.cone}")
-    print(f"# frame_skip={env.unwrapped.frame_skip} nq={m.nq} nv={m.nv} "
+    print(f"# frame_skip={frame_skip} nq={m.nq} nv={m.nv} "
           f"nu={m.nu} nbody={m.nbody}")
     print(f"# qpos0={[float(x) for x in m.qpos0]}")
 
@@ -69,27 +81,33 @@ def main(env_name: str) -> None:
     plane = [g for g in range(m.ngeom) if m.geom_type[g] == 0]
     assert len(plane) == 1, "expected exactly one floor plane"
     pg = plane[0]
-    assert abs(m.geom_pos[pg][2]) < 1e-12 and m.geom_quat[pg][0] == 1.0, \
-        "floor must be the z=0 plane"
+    assert m.geom_quat[pg][0] == 1.0, "floor must be horizontal (+z)"
+    print(f"_FLOOR_Z = {float(m.geom_pos[pg][2])!r}")
+
+    def _collides(g1, g2):
+        return bool(
+            (m.geom_contype[g1] & m.geom_conaffinity[g2])
+            or (m.geom_contype[g2] & m.geom_conaffinity[g1])
+        )
+
+    cylinders = []
     print("_CONTACTS = (  # body(0-based), local center, radius, mu, "
-          "includemargin, solimp, capsule axis_local (None=sphere)")
+          "includemargin, solimp, capsule axis_local (None=sphere), condim")
     for g in range(m.ngeom):
-        if g == pg:
-            continue
-        c1, a1 = m.geom_contype[pg], m.geom_conaffinity[pg]
-        c2, a2 = m.geom_contype[g], m.geom_conaffinity[g]
-        if not ((c1 & a2) or (c2 & a1)):
+        if g == pg or not _collides(pg, g):
             continue
         name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
         b = int(m.geom_bodyid[g])
         mu = max(m.geom_friction[pg][0], m.geom_friction[g][0])
         margin = float(m.geom_margin[pg] + m.geom_margin[g])
         solimp = _t(m.geom_solimp[g][:3])
+        condim = int(max(m.geom_condim[pg], m.geom_condim[g]))
         gr = _quat_mat(m.geom_quat[g])
         if m.geom_type[g] == 2:  # sphere
             print(f"    # {name} (sphere)")
             print(f"    ({b - 1}, {_t(m.geom_pos[g])}, "
-                  f"{float(m.geom_size[g][0])!r}, {float(mu)!r}, {margin!r}, {solimp}, None),")
+                  f"{float(m.geom_size[g][0])!r}, {float(mu)!r}, {margin!r}, "
+                  f"{solimp}, None, {condim}),")
         elif m.geom_type[g] == 3:  # capsule
             hl = m.geom_size[g][1]
             axis = gr[:, 2]
@@ -97,10 +115,57 @@ def main(env_name: str) -> None:
                 end = m.geom_pos[g] + sgn * hl * axis
                 print(f"    # {name} end {'+' if sgn > 0 else '-'}")
                 print(f"    ({b - 1}, {_t(end)}, {float(m.geom_size[g][0])!r}, "
-                      f"{float(mu)!r}, {margin!r}, {solimp}, {_t(axis)}),")
+                      f"{float(mu)!r}, {margin!r}, {solimp}, {_t(axis)}, "
+                      f"{condim}),")
+        elif m.geom_type[g] == 5:  # upright cylinder on a slide-only body
+            cylinders.append(g)
+            print(f"    # NOTE geom {name} (cylinder) vs plane: its body "
+                  "has no z dof -> the rows have identically zero J and "
+                  "contribute no force (skipped; see spatial_contact.py)")
         else:
             print(f"    # SKIPPED geom {name} type {m.geom_type[g]} "
                   f"(unsupported vs plane)")
+    print(")")
+
+    # capsule-vs-upright-cylinder pairs (the Pusher arm-object contact)
+    cylinders += [g for g in range(m.ngeom)
+                  if m.geom_type[g] == 5 and g not in cylinders
+                  and any(_collides(g, o) for o in range(m.ngeom)
+                          if o != g and m.geom_type[o] == 3)]
+    print("_PAIRS = (  # body1, a1, b1, r1, body2, center2, r2, hh2, mu, "
+          "includemargin, solimp, condim")
+    for cg in cylinders:
+        cb = int(m.geom_bodyid[cg])
+        # assert the cylinder stays upright: no rotational dofs rootward
+        bb = cb
+        while bb != 0:
+            ja = m.body_jntadr[bb]
+            for j in range(ja, ja + m.body_jntnum[bb]):
+                assert int(m.jnt_type[j]) == 2, \
+                    "cylinder body chain must be slide-only"
+            bb = int(m.body_parentid[bb])
+        for g in range(m.ngeom):
+            if m.geom_type[g] != 3 or not _collides(g, cg):
+                continue
+            if m.geom_bodyid[g] == cb:
+                continue
+            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+            b = int(m.geom_bodyid[g])
+            gr = _quat_mat(m.geom_quat[g])
+            hl = m.geom_size[g][1]
+            axis = gr[:, 2]
+            a1 = m.geom_pos[g] - hl * axis
+            b1 = m.geom_pos[g] + hl * axis
+            mu = max(m.geom_friction[g][0], m.geom_friction[cg][0])
+            margin = float(m.geom_margin[g] + m.geom_margin[cg])
+            condim = int(max(m.geom_condim[g], m.geom_condim[cg]))
+            print(f"    # {name} vs cylinder "
+                  f"{mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, cg)}")
+            print(f"    ({b - 1}, {_t(a1)}, {_t(b1)}, "
+                  f"{float(m.geom_size[g][0])!r}, {cb - 1}, "
+                  f"{_t(m.geom_pos[cg])}, {float(m.geom_size[cg][0])!r}, "
+                  f"{float(m.geom_size[cg][1])!r}, {float(mu)!r}, "
+                  f"{margin!r}, {_t(m.geom_solimp[cg][:3])}, {condim}),")
     print(")")
 
     print("_LIMITS = (  # dof, lo, hi, solimp, margin")
@@ -129,7 +194,8 @@ def main(env_name: str) -> None:
         print(f"    ({int(m.jnt_dofadr[j])}, {float(m.actuator_gear[a][0])!r}),"
               f"  # {mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_ACTUATOR, a)}")
     print(")")
-    env.close()
+    if env is not None:
+        env.close()
 
 
 if __name__ == "__main__":

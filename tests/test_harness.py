@@ -150,7 +150,8 @@ def test_simulate_mujoco_on_device_smoke():
     assert metrics["rewards"][0] >= 19.0
 
     with pytest.raises(ValueError):
-        simulate_mujoco_on_device("Ant-v4")  # no on-device dynamics (yet)
+        # no on-device dynamics (yet): the humanoids remain host-only
+        simulate_mujoco_on_device("Humanoid-v4")
     with pytest.raises(ValueError):
         # solver_iters only applies to envs with a contact solver
         simulate_mujoco_on_device("Reacher-v4", solver_iters=(6, 40))

@@ -142,6 +142,51 @@ def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
     )
 
 
+def bench_ais_iter_ms(kind: str = "cemppi", num_samples: int = 8192):
+    """ms per AIS iteration by opt_its scaling (its=10 vs its=40 MPC
+    chains in one process — cancels dispatch AND the per-step fixed
+    work). This is the round-3 evidence line: the iteration cost is
+    dominated by the roofline-bound rollout (compare the roofline
+    block's ms_per_call), so the distribution update is no longer the
+    lever at this shape (BENCH.md round-3 section)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpopis_tpu.models import CarRacingEnv
+    from mpopis_tpu.policies import PolicyConfig, make_policy
+
+    env = CarRacingEnv(dtype=jnp.float32)
+
+    def build(its):
+        cfg = PolicyConfig(
+            kind=kind, num_samples=num_samples, horizon=50, lam=10.0,
+            alpha=1.0, opt_its=its, ce_elite_threshold=0.8, sigma_est="ss",
+        )
+        pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
+
+        @jax.jit
+        def step(s, ps):
+            a, ps, _ = pol.step(s, ps)
+            return env.step(s, a), ps
+
+        def chain(n):
+            s, ps = env.reset(), pol.init_state(1)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s, ps = step(s, ps)
+            np.asarray(s.x)
+            return time.perf_counter() - t0
+
+        return chain
+
+    c10, c40 = build(10), build(40)
+    _timed_first(f"ais_iter_{kind}", lambda: (c10(1), c40(1)))
+    c10(2)
+    t10 = min(c10(20) for _ in range(3)) / 20
+    t40 = min(c40(20) for _ in range(3)) / 20
+    return 1e3 * (t40 - t10) / 30.0
+
+
 def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15):
     """On-device MuJoCo env-steps/s (CEMPPI policy step incl. 3 AIS its)."""
     import jax.numpy as jnp
@@ -439,6 +484,10 @@ def main() -> None:
         _entry(details, f"devicerate_{task}_e2e_steps_per_s",
                lambda t=task: _dr_task(t))
     _entry(details, "roofline", bench_roofline)
+    _entry(details, "cemppi_ms_per_ais_iteration",
+           lambda: round(bench_ais_iter_ms("cemppi"), 3))
+    _entry(details, "cmamppi_ms_per_ais_iteration",
+           lambda: round(bench_ais_iter_ms("cmamppi"), 3))
     try:
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
         # violation bookkeeping included); trial 2 excludes compiles

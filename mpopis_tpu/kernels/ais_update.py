@@ -55,12 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def fused_update_enabled(dtype) -> bool:
+    """Opt-in (MPOPIS_FUSED_UPDATE=1). Round-3 same-process A/B on the
+    real chip (scripts/ab_fused_update.py): the fused kernels are NOT
+    faster end-to-end — cemppi 0.556 vs 0.522 ms/AIS-iteration, cmamppi
+    0.768 vs 0.648 — because the per-iteration cost is dominated by the
+    roofline-bound rollout (~0.49 ms of the 0.52), not the refit chain
+    XLA already overlaps well. Kept as an opt-in path (validated vs the
+    XLA composition on TPU and under the interpreter) for future shapes
+    where the small-linalg chain does dominate (large cs, small K)."""
     env = os.environ.get("MPOPIS_FUSED_UPDATE", "").strip()
-    if env == "0":
-        return False
     if env == "1":  # force on (non-TPU backends run the interpreter)
         return jnp.dtype(dtype) == jnp.float32
-    return jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+    return False
 
 
 def default_interpret() -> bool:

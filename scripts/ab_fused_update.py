@@ -53,7 +53,7 @@ def main(kinds):
         return time.perf_counter() - t0
 
     def measure(kind, fused: bool):
-        os.environ["MPOPIS_FUSED_UPDATE"] = "" if fused else "0"
+        os.environ["MPOPIS_FUSED_UPDATE"] = "1" if fused else "0"
         p10, s10 = build(kind, 10)
         p40, s40 = build(kind, 40)
         t0 = time.perf_counter()

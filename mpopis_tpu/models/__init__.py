@@ -4,6 +4,8 @@ from mpopis_tpu.models.car_racing import CarParams, CarRacingEnv, car_reward, st
 from mpopis_tpu.models.cartpole import CartPoleEnv
 from mpopis_tpu.models.cheetah_device import CheetahDeviceEnv
 from mpopis_tpu.models.hopper_device import HopperDeviceEnv
+from mpopis_tpu.models.humanoid_device import HumanoidDeviceEnv
+from mpopis_tpu.models.humanoidstandup_device import HumanoidStandupDeviceEnv
 from mpopis_tpu.models.mountain_car import MountainCarEnv
 from mpopis_tpu.models.multi_car import MultiCarRacingEnv
 from mpopis_tpu.models.pusher_device import PusherDeviceEnv
@@ -29,6 +31,8 @@ __all__ = [
     "CartPoleEnv",
     "CheetahDeviceEnv",
     "HopperDeviceEnv",
+    "HumanoidDeviceEnv",
+    "HumanoidStandupDeviceEnv",
     "MountainCarEnv",
     "MultiCarRacingEnv",
     "InvertedDoublePendulumDeviceEnv",

@@ -217,6 +217,35 @@ class AntDeviceEnv(Env):
     def dt(self) -> float:
         return _H * _FRAME_SKIP
 
+    # --- fused Pallas rollout (kernels/spatial_step.py) ------------------
+    @property
+    def supports_fused_rollout(self) -> bool:
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
+        )
+
+    def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
+        """(T, 8, K) clamped controls → (K,) costs; whole rollout incl.
+        the 3D-cone contact QP in one Pallas program per K-block. The
+        stage-4 torso-x reward quirk is carried in-kernel (track='q0':
+        the Ant torso's ipos is the body origin, so get_body_com x ==
+        stage-4 qpos[0] — the exactness the trajectory suite pins)."""
+        from mpopis_tpu.kernels.spatial_step import spatial_rollout_costs_tak
+
+        return spatial_rollout_costs_tak(
+            MODEL, state.x, controls_tak,
+            frame_skip=_FRAME_SKIP, outer=self.solver_outer,
+            cg=self.solver_cg, actuators=_ACTUATORS, track="q0",
+            healthy=1.0, ctrl_w=0.5, interpret=self.fused_interpret,
+        )
+
+    def fused_rollout_costs(self, state, controls: jnp.ndarray):
+        """Same with (K, T, 8) controls."""
+        return self.fused_rollout_costs_tak(
+            state, jnp.transpose(controls, (1, 2, 0))
+        )
+
     def reset(self, key: jax.Array | None = None) -> EnvState:
         """reset_noise_scale=0 init: qpos0 (torso at z=0.75, unit quat,
         joint angles 0 — the ankle limits are VIOLATED at init and the

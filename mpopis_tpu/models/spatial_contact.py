@@ -297,6 +297,41 @@ class SCPairCylinder:
 
 
 @dataclasses.dataclass(frozen=True)
+class SCPairCapsule:
+    """Generic sphere/capsule vs sphere/capsule pair on two bodies — the
+    Humanoid self-collision geometry (all its body geoms are condim-1
+    with full contype/conaffinity, so a fallen humanoid makes
+    frictionless single-row contacts between non-adjacent bodies). A
+    sphere is a zero-length segment (a == b); the static point/segment
+    distinction folds the closest-point algebra at trace time.
+
+    Conventions verified against mujoco on live Humanoid-v4 states
+    (machine precision over sphere-sphere, sphere-capsule and
+    capsule-capsule contacts): closest points between the two axis
+    segments (Ericson), dist = |c2−c1| − r1 − r2, normal from geom1
+    toward geom2, contact point at c1 + n·(r1 + dist/2), J = n·(J2−J1),
+    R = (1−imp)/imp·(bw1+bw2), aref with the shared KBIP rules. MuJoCo
+    orders each pair so type1 ≤ type2 (sphere before capsule), else by
+    geom index — the probe script emits that order. Known deviation:
+    EXACTLY parallel overlapping capsules make MuJoCo emit 2 endpoint
+    contacts; this analytic pair emits the single closest-point contact
+    (a measure-zero configuration for generic states — same grade as
+    the Pusher pair's CCD-manifold note)."""
+
+    body1: int
+    a1: tuple[float, float, float]  # segment ends, body1 frame (a1==b1
+    b1: tuple[float, float, float]  # for a sphere)
+    r1: float
+    body2: int
+    a2: tuple[float, float, float]
+    b2: tuple[float, float, float]
+    r2: float
+    margin: float
+    solimp: tuple[float, float, float]
+    condim: int = 1  # only condim-1 (frictionless) pairs are supported
+
+
+@dataclasses.dataclass(frozen=True)
 class SCLimit:
     dof: int
     lo: float
@@ -325,6 +360,7 @@ class SpatialContactModel:
     gravity: float = 9.81
     floor_z: float = 0.0  # height of the contact plane (Pusher: -0.325)
     pairs: tuple[SCPairCylinder, ...] = ()
+    self_pairs: tuple[SCPairCapsule, ...] = ()
 
     @property
     def n_rows(self) -> int:
@@ -332,10 +368,12 @@ class SpatialContactModel:
         never degenerate into the planar family's mergeable pure-normal
         pair — both tangents are live) + 1 normal row per condim-1
         contact/pair."""
+        assert all(p.condim == 1 for p in self.self_pairs)
         return (
             len(self.limits)
             + sum(4 if c.condim == 3 else 1 for c in self.contacts)
             + sum(4 if p.condim == 3 else 1 for p in self.pairs)
+            + len(self.self_pairs)
         )
 
     @property
@@ -714,7 +752,173 @@ def contact_rows(model: SpatialContactModel, q, qv, zero, fr: Frames = None):
         jv_n = _jdotv(j, qv, n)
         aref = -bc * jv_n - kc * imp * pos_m
         rows.append((_dezero(j), aref, r_reg, active))
+
+    for pair in model.self_pairs:
+        dist, nvec, cp = _capsule_capsule(model, fr, pair)
+        active = dist < pair.margin
+        j = [0.0] * n
+        for d, jv, _jw in _dof_columns(model, fr, pair.body1, cp):
+            j[d] = _sub(j[d], _dot3(jv, nvec))
+        for d, jv, _jw in _dof_columns(model, fr, pair.body2, cp):
+            j[d] = _add(j[d], _dot3(jv, nvec))
+        d0, dmax, width = pair.solimp
+        pos_m = dist - pair.margin
+        imp = impedance(pos_m, d0=d0, dmax=dmax, width=width)
+        kc, bc = model.kb(dmax)
+        r_reg = (1.0 - imp) / imp * (
+            model.body_invweight0[pair.body1]
+            + model.body_invweight0[pair.body2]
+        )
+        aref = -bc * _jdotv(j, qv, n) - kc * imp * pos_m
+        rows.append((_dezero(j), aref, r_reg, active))
     return rows
+
+
+def contact_force_ssq(model: SpatialContactModel, q, lam, fr: Frames = None):
+    """Σ_b ‖cfrc_ext[b]‖² over the model's bodies — the quantity
+    gymnasium's HumanoidStandup impact cost reads (0.5e-6 ·
+    Σ data.cfrc_ext², humanoidstandup_v4.py). Probed conventions
+    (reconstructed to machine precision against mj_rnePostConstraint on
+    live HumanoidStandup states): cfrc_ext rows are (torque, force)
+    world 6-vectors; each contact adds +wrench to geom2's body and
+    −wrench to geom1's (the WORLD body accumulates nothing — its row
+    stays zero even under floor contact); the torque reference point is
+    subtree_com[body_rootid[b]] = the whole-robot mass-weighted com
+    (every body of a single floating tree shares it). λ is the efc
+    force vector returned by the stage-4 QP (`solve_qp_dense`'s lam, at
+    the q the same solve saw): pyramid rows combine as
+    f = n·Σλ + μ·t₁(λ₀−λ₁) + μ·t₂(λ₂−λ₃) (mju_decodePyramid); condim-1
+    rows as f = n·λ. Limit rows carry no cartesian force. mj_step with
+    RK4 leaves data.cfrc_ext at the LAST STAGE's values (no forward
+    pass after integration), so callers pass the stage-4 (q, λ)."""
+    if fr is None:
+        fr = frames(model, q)
+    nb = len(model.bodies)
+    total_m = sum(b.mass for b in model.bodies)
+    com = (0.0, 0.0, 0.0)
+    for bi, b in enumerate(model.bodies):
+        cw = _vadd(fr.origin[bi], _rvec(fr.rot[bi], b.com))
+        com = _vadd(com, _vscale(b.mass, cw))
+    com = _vscale(1.0 / total_m, com)
+    acc = [[0.0] * 6 for _ in range(nb)]
+
+    def _accum(bi, cp, f, sgn):
+        t = _cross3(_vsub(cp, com), f)
+        for i in range(3):
+            acc[bi][i] = _add(acc[bi][i], _mul(sgn, t[i]))
+            acc[bi][3 + i] = _add(acc[bi][3 + i], _mul(sgn, f[i]))
+
+    r = len(model.limits)
+    for con in model.contacts:
+        bi = con.body
+        p = _vadd(fr.origin[bi], _rvec(fr.rot[bi], con.local))
+        dist = (p[2] - model.floor_z) - con.radius
+        cp = (p[0], p[1], model.floor_z + 0.5 * dist)
+        if con.condim == 1:
+            _accum(bi, cp, (0.0, 0.0, lam[r]), 1.0)
+            r += 1
+            continue
+        if con.axis_local is None:
+            t1 = (0.0, 1.0, 0.0)
+        else:
+            a_w = _rvec(fr.rot[bi], con.axis_local)
+            nrm = jnp.sqrt(
+                jnp.maximum(a_w[0] * a_w[0] + a_w[1] * a_w[1], 1e-24)
+            )
+            t1 = (a_w[0] / nrm, a_w[1] / nrm, 0.0)
+        t2 = (-t1[1], t1[0], 0.0)
+        fn = lam[r] + lam[r + 1] + lam[r + 2] + lam[r + 3]
+        ft1 = con.mu * (lam[r] - lam[r + 1])
+        ft2 = con.mu * (lam[r + 2] - lam[r + 3])
+        f = tuple(
+            _add(
+                _mul(fn, nv), _add(_mul(ft1, t1[i]), _mul(ft2, t2[i]))
+            )
+            for i, nv in enumerate((0.0, 0.0, 1.0))
+        )
+        _accum(bi, cp, f, 1.0)
+        r += 4
+    for pair in model.pairs:
+        _dist, nvec, cp = _capsule_cylinder(model, fr, pair)
+        f = _vscale(lam[r], nvec)
+        _accum(pair.body2, cp, f, 1.0)
+        _accum(pair.body1, cp, f, -1.0)
+        r += 1
+    for pair in model.self_pairs:
+        _dist, nvec, cp = _capsule_capsule(model, fr, pair)
+        f = _vscale(lam[r], nvec)
+        _accum(pair.body2, cp, f, 1.0)
+        _accum(pair.body1, cp, f, -1.0)
+        r += 1
+    assert r == model.n_rows
+    s = 0.0
+    for bi in range(nb):
+        for c in acc[bi]:
+            s = _add(s, _mul(c, c))
+    return s if not _is_const(s) else jnp.zeros_like(q[0])
+
+
+def _capsule_capsule(model: SpatialContactModel, fr: Frames,
+                     pair: SCPairCapsule):
+    """Analytic sphere/capsule-vs-sphere/capsule contact: returns
+    (dist, normal geom1→geom2, contact point). Closest points between
+    the two axis segments (Ericson 5.1.9, branchless); the static
+    point-vs-segment distinction (a sphere is a zero-length segment)
+    and the static segment lengths fold at trace time. Verified to
+    machine precision against live mujoco Humanoid-v4 contacts of all
+    three type combinations (see SCPairCapsule)."""
+    o1, r1m = fr.origin[pair.body1], fr.rot[pair.body1]
+    o2, r2m = fr.origin[pair.body2], fr.rot[pair.body2]
+    d1_loc = tuple(b - a for a, b in zip(pair.a1, pair.b1))
+    d2_loc = tuple(b - a for a, b in zip(pair.a2, pair.b2))
+    la = sum(c * c for c in d1_loc)  # static |segment|²
+    le = sum(c * c for c in d2_loc)
+    seg1, seg2 = la > 0.0, le > 0.0
+    a1 = _vadd(o1, _rvec(r1m, pair.a1))
+    a2 = _vadd(o2, _rvec(r2m, pair.a2))
+    if not seg1 and not seg2:  # sphere vs sphere
+        c1, c2 = a1, a2
+    elif not seg1:  # sphere vs capsule 2
+        d2 = _rvec(r2m, d2_loc)
+        t = jnp.clip(_dot3(_vsub(a1, a2), d2) * (1.0 / le), 0.0, 1.0)
+        c1, c2 = a1, _vadd(a2, _vscale(t, d2))
+    elif not seg2:  # capsule 1 vs sphere
+        d1 = _rvec(r1m, d1_loc)
+        s = jnp.clip(_dot3(_vsub(a2, a1), d1) * (1.0 / la), 0.0, 1.0)
+        c1, c2 = _vadd(a1, _vscale(s, d1)), a2
+    else:  # capsule vs capsule
+        d1 = _rvec(r1m, d1_loc)
+        d2 = _rvec(r2m, d2_loc)
+        r = _vsub(a1, a2)
+        lf = _dot3(d2, r)
+        lc = _dot3(d1, r)
+        lb = _dot3(d1, d2)
+        den = la * le - lb * lb
+        s = jnp.where(
+            den > 1e-12 * la * le,
+            jnp.clip(
+                (lb * lf - lc * le) / jnp.maximum(den, 1e-30), 0.0, 1.0
+            ),
+            0.0,
+        )
+        t_raw = (lb * s + lf) * (1.0 / le)
+        s = jnp.where(
+            t_raw < 0.0,
+            jnp.clip(-lc * (1.0 / la), 0.0, 1.0),
+            jnp.where(
+                t_raw > 1.0,
+                jnp.clip((lb - lc) * (1.0 / la), 0.0, 1.0),
+                s,
+            ),
+        )
+        t = jnp.clip(t_raw, 0.0, 1.0)
+        c1, c2 = _vadd(a1, _vscale(s, d1)), _vadd(a2, _vscale(t, d2))
+    dvec = _vsub(c2, c1)
+    ln = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-24))
+    nvec = _vscale(1.0 / ln, dvec)
+    dist = ln - pair.r1 - pair.r2
+    cp = _vadd(c1, _vscale(pair.r1 + 0.5 * dist, nvec))
+    return dist, nvec, cp
 
 
 def _capsule_cylinder(model: SpatialContactModel, fr: Frames,
@@ -839,11 +1043,18 @@ def integrate_pos(model: SpatialContactModel, q, v, h):
     return tuple(out)
 
 
-def build_spatial_stepper(model: SpatialContactModel):
+def build_spatial_stepper(model: SpatialContactModel,
+                          unroll_rk4: bool = False):
     """Build (substep, mass_entries, bias, qfrc_smooth, qacc) for the
     model — the spatial sibling of planar_contact.build_contact_stepper.
     substep(q, qv, tau, outer, cg, lam0) advances ONE physics timestep;
-    q is an n_q tuple (quaternions included), qv an n_dof tuple."""
+    q is an n_q tuple (quaternions included), qv an n_dof tuple.
+
+    `unroll_rk4` emits the 4 RK stages inline instead of the lax.scan
+    body (same arithmetic, stage coefficients as static floats): the
+    scan keeps XLA CPU compiles tractable at 1× qacc, but inside a
+    Pallas kernel the scan's (4,)-array stage constants don't lower
+    through Mosaic — kernels/spatial_step.py traces the unrolled form."""
     n = model.n_dof
 
     def mass_entries(q, fr=None):
@@ -955,9 +1166,34 @@ def build_spatial_stepper(model: SpatialContactModel):
         vn = tuple(qv[d] + h * accv[d] for d in range(n))
         return qn, vn, lam, q4
 
+    def rk4_substep_unrolled(q, qv, tau, outer, cg, lam0=None):
+        """The scan body of `rk4_substep` emitted inline 4× with static
+        stage coefficients — identical arithmetic (see docstring)."""
+        q = normalize_quat(q, model)
+        zero = jnp.zeros_like(q[0])
+        if lam0 is None:
+            lam0 = jnp.zeros((model.n_rows,) + zero.shape, dtype=zero.dtype)
+        accq = accv = (0.0,) * n
+        kq_prev, kv_prev, lam = qv, (0.0,) * n, lam0
+        q_s = q
+        for c, w in ((0.0, 1 / 6), (0.5, 1 / 3), (0.5, 1 / 3), (1.0, 1 / 6)):
+            if c == 0.0:
+                q_s, v_s = q, qv
+            else:
+                q_s = integrate_pos(model, q, kq_prev, c * h)
+                v_s = tuple(qv[d] + (c * h) * kv_prev[d] for d in range(n))
+            kv, lam = qacc_warm(q_s, v_s, tau, outer, cg, lam)
+            kv = tuple(kv)
+            accq = tuple(_add(accq[d], _mul(w, v_s[d])) for d in range(n))
+            accv = tuple(_add(accv[d], _mul(w, kv[d])) for d in range(n))
+            kq_prev, kv_prev = v_s, kv
+        qn = integrate_pos(model, q, accq, h)
+        vn = tuple(qv[d] + h * accv[d] for d in range(n))
+        return qn, vn, lam, q_s
+
     substep = (
         euler_implicit_substep
         if model.integrator == "euler_implicit"
-        else rk4_substep
+        else (rk4_substep_unrolled if unroll_rk4 else rk4_substep)
     )
     return substep, mass_entries, bias, qfrc_smooth, qacc_constrained

@@ -168,6 +168,52 @@ def main(env_name: str) -> None:
                   f"{margin!r}, {_t(m.geom_solimp[cg][:3])}, {condim}),")
     print(")")
 
+    # body-body self-collision pairs (sphere/capsule geoms) — MuJoCo's
+    # broadphase exclusion: same weld, or parent-child welds (the world
+    # exception never applies here since neither body is the world).
+    # Pair order matches mjCOLLISIONFUNC: swap so type1 <= type2 (sphere
+    # before capsule), else ascending geom index.
+    def _seg(g):
+        gr = _quat_mat(m.geom_quat[g])
+        if m.geom_type[g] == 2:  # sphere: zero-length segment
+            return m.geom_pos[g], m.geom_pos[g], float(m.geom_size[g][0])
+        hl = m.geom_size[g][1]
+        axis = gr[:, 2]
+        return (m.geom_pos[g] - hl * axis, m.geom_pos[g] + hl * axis,
+                float(m.geom_size[g][0]))
+
+    print("_SELF_PAIRS = (  # body1, a1, b1, r1, body2, a2, b2, r2, "
+          "includemargin, solimp, condim")
+    for g1 in range(m.ngeom):
+        for g2 in range(g1 + 1, m.ngeom):
+            if m.geom_type[g1] not in (2, 3) or m.geom_type[g2] not in (2, 3):
+                continue
+            if not _collides(g1, g2):
+                continue
+            w1 = int(m.body_weldid[m.geom_bodyid[g1]])
+            w2 = int(m.body_weldid[m.geom_bodyid[g2]])
+            if w1 == w2:
+                continue
+            wp1 = int(m.body_weldid[m.body_parentid[w1]])
+            wp2 = int(m.body_weldid[m.body_parentid[w2]])
+            if w1 == wp2 or w2 == wp1:  # parent-child (filterparent)
+                continue
+            ga, gb = g1, g2
+            if m.geom_type[ga] > m.geom_type[gb]:
+                ga, gb = gb, ga
+            aa, ab, ra = _seg(ga)
+            ba, bb, rb = _seg(gb)
+            condim = int(max(m.geom_condim[ga], m.geom_condim[gb]))
+            margin = float(m.geom_margin[ga] + m.geom_margin[gb])
+            n1 = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, ga)
+            n2 = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, gb)
+            print(f"    # {n1} vs {n2}")
+            print(f"    ({int(m.geom_bodyid[ga]) - 1}, {_t(aa)}, {_t(ab)}, "
+                  f"{ra!r}, {int(m.geom_bodyid[gb]) - 1}, {_t(ba)}, "
+                  f"{_t(bb)}, {rb!r}, {margin!r}, "
+                  f"{_t(m.geom_solimp[ga][:3])}, {condim}),")
+    print(")")
+
     print("_LIMITS = (  # dof, lo, hi, solimp, margin")
     for j in range(m.njnt):
         if m.jnt_limited[j]:

@@ -188,6 +188,46 @@ def render_cartpole(env, state):
     return fig
 
 
+# 2D projection of each on-device MuJoCo task's state vector for the
+# sampled-trajectory overlay: (ix, iy, xlabel, ylabel). Locomotion tasks
+# use the root's sagittal (x, z) or top-down (x, y) plane; the Pusher
+# shows the pushed object; the arm/pendulum tasks show joint space.
+MUJOCO_VIEWS = {
+    "HalfCheetah-v4": (0, 1, "x [m]", "z [m]"),
+    "Hopper-v4": (0, 1, "x [m]", "z [m]"),
+    "Walker2d-v4": (0, 1, "x [m]", "z [m]"),
+    "Swimmer-v4": (0, 1, "x [m]", "y [m]"),
+    "Ant-v4": (0, 1, "x [m]", "y [m]"),
+    "Humanoid-v4": (0, 2, "x [m]", "z [m]"),
+    "HumanoidStandup-v4": (0, 2, "x [m]", "z [m]"),
+    "Pusher-v4": (25, 26, "object x [m]", "object y [m]"),
+    "Reacher-v4": (0, 1, "q1 [rad]", "q2 [rad]"),
+    "InvertedPendulum-v4": (0, 1, "cart x [m]", "pole angle [rad]"),
+    "InvertedDoublePendulum-v4": (0, 1, "cart x [m]", "pole1 angle [rad]"),
+}
+
+
+def render_mujoco_trajectories(task, trail, trajectories, weights,
+                               perc: float = 1.0):
+    """Sampled-trajectory overlay for an on-device MuJoCo control step —
+    the flagship-task analog of the reference's plot(env, pol, perc)
+    (plots.jl:96-126): the K logged rollouts from the policy's final AIS
+    iteration, color-graded by weight rank (RdYlGn, greener = higher
+    weight), over the executed state trail (black)."""
+    ix, iy, xl, yl = MUJOCO_VIEWS.get(task, (0, 1, "state[0]", "state[1]"))
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    trajs = np.asarray(trajectories)[:, :, [ix, iy]]
+    plot_trajectories(ax, trajs, weights, perc)
+    tr = np.asarray(trail)
+    ax.plot(tr[:, ix], tr[:, iy], color="black", lw=1.8, zorder=6)
+    ax.plot(tr[-1, ix], tr[-1, iy], "o", ms=6, color="black", zorder=7)
+    ax.set_xlabel(xl)
+    ax.set_ylabel(yl)
+    ax.set_title(f"{task}  t={len(tr) - 1}")
+    fig.tight_layout()
+    return fig
+
+
 def figure_to_array(fig) -> np.ndarray:
     fig.canvas.draw()
     buf = np.asarray(fig.canvas.buffer_rgba())

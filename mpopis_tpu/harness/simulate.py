@@ -142,6 +142,8 @@ def _simulate_simple(
     seed=None,
     log_runs=True,
     pol_log=False,
+    plot_traj=False,
+    plot_traj_perc=1.0,
     save_gif=False,
     gif_name=None,
     print_output=True,
@@ -151,14 +153,17 @@ def _simulate_simple(
 ):
     if seed is None:
         seed = _default_seed()
-    if save_gif and sim_type not in ("MountainCar", "CartPole"):
+    if save_gif and sim_type not in ("MountainCar", "CartPole") \
+            and not plot_traj:
         import warnings
 
         warnings.warn(
-            f"save_gif is not supported for {sim_type}; disabling",
+            f"save_gif for {sim_type} needs plot_traj=True (sampled-"
+            "trajectory overlays); disabling",
             stacklevel=2,
         )
         save_gif = False
+    pol_log = pol_log or plot_traj
     chunk = _resolve_chunk(
         steps_per_call, needs_host_every_step=save_gif or pol_log
     )
@@ -203,6 +208,7 @@ def _simulate_simple(
         t0 = time.perf_counter()
         rew, cnt, done = 0.0, 0, False
         acts: list[np.ndarray] = []
+        trail: list[np.ndarray] = []  # executed states (plot_traj)
         while not done and cnt <= num_steps:
             if chunk > 1:
                 s, ps, rows_d = fused_chunk(s, ps)
@@ -215,7 +221,9 @@ def _simulate_simple(
                     if output_acts_file:
                         acts.append(row[2:].astype(np.float64))
                 continue
-            act, ps, _ = pol.step(s, ps)
+            act, ps, info = pol.step(s, ps)
+            if plot_traj:
+                trail.append(np.asarray(s.x))
             s, r_step = env.step_reward(s, act)
             rew += float(r_step)
             cnt += 1
@@ -225,11 +233,20 @@ def _simulate_simple(
             if frames is not None:
                 from mpopis_tpu.harness import plotting
 
-                render = {
-                    "MountainCar": plotting.render_mountaincar,
-                    "CartPole": plotting.render_cartpole,
-                }.get(sim_type)
-                fig = render(env, s)
+                if plot_traj and "trajectories" in info:
+                    # sampled-rollout overlay (plots.jl:96-126 analog)
+                    task = sim_type.replace(" (on-device)", "")
+                    fig = plotting.render_mujoco_trajectories(
+                        task, trail + [np.asarray(s.x)],
+                        info["trajectories"], info["weights"],
+                        plot_traj_perc,
+                    )
+                else:
+                    render = {
+                        "MountainCar": plotting.render_mountaincar,
+                        "CartPole": plotting.render_cartpole,
+                    }.get(sim_type)
+                    fig = render(env, s)
                 frames.append(plotting.figure_to_array(fig))
                 plotting.close(fig)
         dt = time.perf_counter() - t0
@@ -297,6 +314,8 @@ def simulate_cartpole(**kwargs):
 
 ON_DEVICE_MUJOCO_TASKS = (
     "Ant-v4",
+    "Humanoid-v4",
+    "HumanoidStandup-v4",
     "Pusher-v4",
     "Reacher-v4",
     "Swimmer-v4",
@@ -314,19 +333,28 @@ def simulate_mujoco_on_device(task: str, **kwargs):
     contact-free tasks with closed-form dynamics, the
     HalfCheetah/Hopper/Walker2d contact pipeline (models/planar_contact.py,
     fused Pallas rollouts on TPU) AND the 3D spatial-contact family
-    (models/spatial_contact.py — Ant). Contact-free tasks match mj_step to
+    (models/spatial_contact.py — Ant, Humanoid, HumanoidStandup,
+    Pusher): all 11 reference envpool tasks
+    (src/envs/envpool_env.jl:35-61). Contact-free tasks match mj_step to
     solver tolerance; contact tasks default to control-grade solver
     iterations — pass solver_iters=(6, 40) for mj_step-parity-grade
     trajectories. `output_acts_file=True` exports the executed action
     sequence per trial as a 20-decimal CSV (the reference's
     write_acts_to_file format, envpool_env.jl:184-197) for the
-    scripts/replay_mujoco.py gymnasium replay cross-check."""
+    scripts/replay_mujoco.py gymnasium replay cross-check.
+    `plot_traj=True, save_gif=True` renders the logged K sampled
+    rollouts per control step as weight-graded overlays over the
+    executed trail (the reference's plot(env, pol, perc),
+    plots.jl:96-126) into a gif — see plotting.MUJOCO_VIEWS for each
+    task's 2D projection."""
     import jax.numpy as jnp
 
     from mpopis_tpu.models import (
         AntDeviceEnv,
         CheetahDeviceEnv,
         HopperDeviceEnv,
+        HumanoidDeviceEnv,
+        HumanoidStandupDeviceEnv,
         InvertedDoublePendulumDeviceEnv,
         InvertedPendulumDeviceEnv,
         PusherDeviceEnv,
@@ -337,6 +365,8 @@ def simulate_mujoco_on_device(task: str, **kwargs):
 
     registry = {
         "Ant-v4": AntDeviceEnv,
+        "Humanoid-v4": HumanoidDeviceEnv,
+        "HumanoidStandup-v4": HumanoidStandupDeviceEnv,
         "Pusher-v4": PusherDeviceEnv,
         "Reacher-v4": ReacherDeviceEnv,
         "Swimmer-v4": SwimmerDeviceEnv,

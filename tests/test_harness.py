@@ -150,11 +150,30 @@ def test_simulate_mujoco_on_device_smoke():
     assert metrics["rewards"][0] >= 19.0
 
     with pytest.raises(ValueError):
-        # no on-device dynamics (yet): the humanoids remain host-only
-        simulate_mujoco_on_device("Humanoid-v4")
+        # all 11 envpool tasks are on-device; unknown names still raise
+        simulate_mujoco_on_device("NotATask-v0")
     with pytest.raises(ValueError):
         # solver_iters only applies to envs with a contact solver
         simulate_mujoco_on_device("Reacher-v4", solver_iters=(6, 40))
+
+
+def test_on_device_traj_overlay_gif(tmp_path, monkeypatch):
+    """plot_traj=True renders the logged K sampled rollouts per control
+    step (weight-graded, plots.jl:96-126 analog) into a gif for an
+    on-device MuJoCo task."""
+    pytest.importorskip("mujoco")
+    from mpopis_tpu.harness.simulate import simulate_mujoco_on_device
+
+    monkeypatch.chdir(tmp_path)
+    simulate_mujoco_on_device(
+        "InvertedPendulum-v4",
+        num_trials=1, num_steps=4, policy_type="cemppi", num_samples=8,
+        horizon=5, lam=0.1, ais_its=2, seed=4, print_output=False,
+        dtype=jnp.float64, plot_traj=True, save_gif=True,
+        gif_name="overlay.gif",
+    )
+    gif = tmp_path / "overlay.gif"
+    assert gif.exists() and gif.stat().st_size > 0
 
 
 def test_on_device_acts_export_and_replay(tmp_path, monkeypatch):

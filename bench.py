@@ -201,20 +201,27 @@ def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15):
     return num_samples * horizon * 3 * sps  # env-steps/s
 
 
-# Headline fused-kernel shapes (BENCH.md round-2 tables).
+# Headline fused-kernel shapes (BENCH.md round-2/3 tables). The 3D
+# tasks (ant, pusher, humanoid) run the round-3 SPATIAL kernel
+# (kernels/spatial_step.py — 3D-cone + self-collision QP and the
+# per-model reward family in-kernel); smaller fan-out than the planar
+# tasks keeps the relay Mosaic compile bounded.
 _KERNEL_TASKS = {
     "cheetah": ("CheetahDeviceEnv", 2048, 15, (3, 13)),
     "hopper": ("HopperDeviceEnv", 2048, 15, (3, 13)),
     "walker2d": ("Walker2dDeviceEnv", 2048, 15, (3, 13)),
     "swimmer": ("SwimmerDeviceEnv", 4096, 25, (3, 13)),
+    "ant": ("AntDeviceEnv", 1024, 10, (3, 13)),
+    "pusher": ("PusherDeviceEnv", 1024, 10, (3, 13)),
+    "humanoid": ("HumanoidDeviceEnv", 512, 8, (3, 13)),
 }
-# End-to-end contact configs: (env, K, H, opt_its, lam, cov).
+# End-to-end contact configs: (env, K, H, opt_its, lam, cov). All four
+# route through their fused kernels on TPU (supports_fused_rollout).
 _E2E_TASKS = {
     "cheetah": ("CheetahDeviceEnv", 2048, 15, 3, 0.1, 0.25),
     "swimmer": ("SwimmerDeviceEnv", 4096, 25, 3, 0.1, 0.25),
-    # Ant runs the XLA vmap path (3D spatial-contact family, no Pallas
-    # kernel yet); smaller fan-out keeps the relay compile bounded.
     "ant": ("AntDeviceEnv", 1024, 10, 2, 1.0, 0.25),
+    "pusher": ("PusherDeviceEnv", 1024, 10, 2, 0.1, 0.25),
 }
 
 

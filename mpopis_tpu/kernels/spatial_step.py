@@ -13,12 +13,14 @@ body traces the SAME generic substep the XLA/vmap path uses
 the correctness oracle (tests/test_spatial_kernel.py pins kernel ==
 oracle in interpret mode).
 
-The spatial family's reward reads STAGE-4 kinematics (gymnasium's
-get_body_com / mass_center read data.xipos, which mj_step leaves at the
-last RK stage): the kernel carries a per-sample `track(q_stage4)`
-scalar across control steps — torso x for Ant, the mass-weighted com x
-for Humanoid — and the locomotion reward is
-healthy + fwd_w·Δtrack/dt − ctrl_w·Σa².
+The spatial family's rewards read STAGE-4 kinematics (gymnasium's
+get_body_com / mass_center / cfrc_ext read data that mj_step leaves at
+the last RK stage): the kernel carries a per-sample SNAPSHOT tuple
+across control steps, resolved per model through the reward-FAMILY
+registry — 'locomotion' (Ant/Humanoid: one track scalar, reward
+healthy + fwd_w·Δtrack/dt − ctrl_w·Σa²), 'pusher' (the 9-entry stale
+xpos snapshot feeding the distance costs) and 'standup' (the stage-4
+Σ‖cfrc_ext‖² reconstructed in-kernel from the final substep's λ).
 
 VMEM check (dominant: the stacked QP row Jacobian (n_rows, n_dof) of
 f32 block vectors): Ant 108×14×block 512×4 B ≈ 3.1 MB; Humanoid
@@ -48,11 +50,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
-                     actuators, track):
-    """(q, qv, acts) -> (q', qv', track(q_stage4)) over one control step;
+                     actuators):
+    """(q, qv, acts) -> (q', qv', q_stage4, λ) over one control step;
     λ warm-starts across substeps and RK stages, reset at control-step
     boundaries — identical semantics to the env.step scan (the vmap
-    oracle)."""
+    oracle). q_stage4 is the kinematics snapshot the family's reward
+    reads (last RK stage for RK4 models, the penultimate/pre-integration
+    qpos for Euler models — both are what mj_step leaves in data.xpos);
+    λ is the final substep's contact impulses (the Standup family's
+    stage-4 cfrc_ext reconstruction reads it)."""
     substep, *_ = build_spatial_stepper(model, unroll_rk4=True)
     na = len(actuators)
 
@@ -69,10 +75,10 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
             qq, vv, ll, _q4 = carry
             return substep(qq, vv, tau, outer, cg, ll)
 
-        q, qv, _, q4 = jax.lax.fori_loop(
+        q, qv, lam, q4 = jax.lax.fori_loop(
             0, frame_skip, sub, (q, qv, lam, q)
         )
-        return q, qv, track(q4)
+        return q, qv, q4, lam
 
     return advance
 
@@ -83,14 +89,16 @@ def _make_kernel(
     na: int,
     advance,
     horizon: int,
-    healthy: float,
-    fwd_w: float,
-    ctrl_w: float,
-    inv_dt: float,
+    n_carry: int,
+    carry_fn,
+    reward_fn,
     block_k: int,
 ):
-    """state0 row layout: [qpos(n_q), qvel(n_dof), track_prev] — the env
-    state's own layout for the spatial family."""
+    """state0 row layout: [qpos(n_q), qvel(n_dof), carry(n_carry)] — the
+    env state's own layout for the spatial family. `carry` is the
+    per-sample kinematics snapshot the next step's reward reads (the
+    stage-4 track scalar for the locomotion family, the stale xpos
+    snapshot for Pusher)."""
     s_sub = block_k // LANES
     shape = (s_sub, LANES)
 
@@ -100,24 +108,25 @@ def _make_kernel(
 
         q0 = tuple(full(state0_ref[0, i]) for i in range(n_q))
         qv0 = tuple(full(state0_ref[0, n_q + i]) for i in range(n_dof))
-        trk0 = full(state0_ref[0, n_q + n_dof])
+        carry0 = tuple(
+            full(state0_ref[0, n_q + n_dof + i]) for i in range(n_carry)
+        )
         zero = full(0.0)
 
         def action_step(t, carry):
-            q, qv, trk_prev, cost = carry
+            q, qv, snap_prev, cost = carry
             acts = tuple(
                 controls_ref[t, i, :].reshape(shape) for i in range(na)
             )
-            q, qv, trk = advance(q, qv, acts)
-            rew = healthy + (trk - trk_prev) * (fwd_w * inv_dt)
-            for a in acts:
-                rew = rew - ctrl_w * (a * a)
-            return (q, qv, trk, cost - rew)
+            q, qv, q4, lam = advance(q, qv, acts)
+            snap = carry_fn(q4, lam)
+            rew = reward_fn(snap_prev, snap, acts, q)
+            return (q, qv, snap, cost - rew)
 
         _, _, _, cost = jax.lax.fori_loop(
-            0, horizon, action_step, (q0, qv0, trk0, zero)
+            0, horizon, action_step, (q0, qv0, carry0, zero)
         )
-        costs_ref[:, :] = cost
+        costs_ref[0, :, :] = cost
 
     return kernel
 
@@ -136,15 +145,50 @@ def register_track(name: str, fn) -> None:
     _TRACKS[name] = fn
 
 
+# Reward FAMILIES: name -> (n_carry, carry_fn, make_reward).
+#   carry_fn(q4, lam) -> tuple of n_carry per-sample scalars (the
+#       snapshot carried across control steps, initialized from the env
+#       state's tail entries; lam is the final substep's contact
+#       impulses — the Standup cfrc_ext term reads it; entries that come
+#       back as python floats are broadcast against q4[0]);
+#   make_reward(healthy, fwd_rate, ctrl_w)
+#       -> reward(prev_snap, new_snap, acts, q_new).
+# 'locomotion' (Ant/Humanoid): healthy + fwd_w*(track'-track)/dt
+#       - ctrl_w*sum(a^2), with the track scalar resolved via _TRACKS.
+_FAMILIES: dict = {}
+
+
+def register_family(name: str, n_carry: int, carry_fn, make_reward) -> None:
+    """Expose a model-specific reward family (e.g. the Pusher's
+    stale-xpos distance costs, the Standup's cfrc_ext impact cost) to
+    the kernel by name."""
+    _FAMILIES[name] = (n_carry, carry_fn, make_reward)
+
+
+def _normalized(carry_fn):
+    """Wrap carry_fn so constant (python float) entries are broadcast to
+    the block shape."""
+    def fn(q4, lam):
+        out = []
+        for e in carry_fn(q4, lam):
+            if isinstance(e, (int, float)):
+                e = jnp.full_like(q4[0], float(e))
+            out.append(e)
+        return tuple(out)
+
+    return fn
+
+
 def _spatial_rollout_impl(
     model: SpatialContactModel,
-    state0_x: jnp.ndarray,  # (n_q + n_dof + 1,) [+ extra tail ignored]
+    state0_x: jnp.ndarray,  # (n_q + n_dof + n_carry,) [+ extra tail ignored]
     controls_tak: jnp.ndarray,  # (T, na, K), already clamped
     horizon: int,
     frame_skip: int,
     outer: int,
     cg: int,
     actuators,  # tuple of (dof, gear)
+    family: str,
     track: str,
     healthy: float,
     fwd_w: float,
@@ -154,7 +198,25 @@ def _spatial_rollout_impl(
 ) -> jnp.ndarray:
     k = controls_tak.shape[2]
     na = controls_tak.shape[1]
-    n_state = model.n_q + model.n_dof + 1
+    inv_dt = 1.0 / (model.timestep * frame_skip)
+    if family == "locomotion":
+        trk = _TRACKS[track]
+        n_carry = 1
+
+        def carry_fn(q4, lam):
+            return (trk(q4),)
+
+        def reward_fn(prev, new, acts, q_new):
+            r = healthy + (new[0] - prev[0]) * (fwd_w * inv_dt)
+            for a in acts:
+                r = r - ctrl_w * (a * a)
+            return r
+
+    else:
+        n_carry, raw_carry, make_reward = _FAMILIES[family]
+        carry_fn = _normalized(raw_carry)
+        reward_fn = make_reward(healthy, fwd_w * inv_dt, ctrl_w)
+    n_state = model.n_q + model.n_dof + n_carry
 
     k_pad = _round_up(k, LANES)
     if k_pad <= block_k:
@@ -172,16 +234,20 @@ def _spatial_rollout_impl(
         ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
     state0 = state0_x[:n_state].astype(jnp.float32).reshape(1, -1)
 
-    advance = _spatial_advance(
-        model, frame_skip, outer, cg, actuators, _TRACKS[track]
-    )
+    advance = _spatial_advance(model, frame_skip, outer, cg, actuators)
     kernel = _make_kernel(
-        model.n_q, model.n_dof, na, advance, horizon, healthy, fwd_w,
-        ctrl_w, 1.0 / (model.timestep * frame_skip), block_k,
+        model.n_q, model.n_dof, na, advance, horizon, n_carry, carry_fn,
+        reward_fn, block_k,
     )
+    # Output is (grid, s_sub, LANES) with a FULL (s_sub, LANES) tail per
+    # block: the Mosaic lowering requires the block's last two dims to be
+    # (8k, 128)-divisible OR equal to the array's — s_sub is 1..4 at the
+    # per-model block_k choices, so only the equality form lowers.
     costs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (k_pad // block_k, s_sub, LANES), jnp.float32
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -193,7 +259,7 @@ def _spatial_rollout_impl(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (s_sub, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, s_sub, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(state0, ctrl)
@@ -202,7 +268,8 @@ def _spatial_rollout_impl(
 
 _STATIC = (
     "model", "horizon", "frame_skip", "outer", "cg", "actuators",
-    "track", "healthy", "fwd_w", "ctrl_w", "block_k", "interpret",
+    "family", "track", "healthy", "fwd_w", "ctrl_w", "block_k",
+    "interpret",
 )
 # The real TPU path compiles through Mosaic (plain jit); interpret mode
 # runs the kernel body as one giant scalar XLA CPU graph, where the
@@ -232,10 +299,11 @@ def spatial_rollout_costs_tak(
     outer: int,
     cg: int,
     actuators,
+    family: str = "locomotion",
     track: str = "q0",
-    healthy: float,
+    healthy: float = 0.0,
     fwd_w: float = 1.0,
-    ctrl_w: float,
+    ctrl_w: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -252,6 +320,6 @@ def spatial_rollout_costs_tak(
         impl = _impl_device
     return impl(
         model, state0_x, controls_tak, controls_tak.shape[0], frame_skip,
-        outer, cg, tuple(actuators), track, healthy, fwd_w, ctrl_w,
-        block_k, interpret,
+        outer, cg, tuple(actuators), family, track, healthy, fwd_w,
+        ctrl_w, block_k, interpret,
     )

@@ -189,6 +189,32 @@ def _dist3(x, i, j):
     return jnp.sqrt(jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30))
 
 
+def _make_pusher_reward(healthy, fwd_rate, ctrl_w):
+    """Kernel reward hook (kernels/spatial_step.register_family): the
+    distance costs read the PREVIOUS step's xpos snapshot — gym's
+    stale-data.xpos semantics, exactly step_reward above. healthy and
+    fwd_rate are unused (no locomotion terms); ctrl_w = 0.1."""
+
+    def reward(prev, new, acts, q_new):
+        def dist(i, j):
+            d0 = prev[i] - prev[j]
+            d1 = prev[i + 1] - prev[j + 1]
+            d2 = prev[i + 2] - prev[j + 2]
+            return jnp.sqrt(jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30))
+
+        r = -dist(3, 6) - 0.5 * dist(3, 0)  # -|obj-goal| - 0.5|obj-tips|
+        for a in acts:
+            r = r - ctrl_w * (a * a)
+        return r
+
+    return reward
+
+
+def _pusher_carry(q4, lam):
+    """Kernel snapshot hook: the 9 stale xpos entries (tips/obj/goal)."""
+    return _xpos9(q4)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class PusherDeviceEnv(Env):
     """gymnasium Pusher-v4 with on-device spatial dynamics (incl. the
@@ -214,6 +240,39 @@ class PusherDeviceEnv(Env):
     @property
     def dt(self) -> float:
         return _H * _FRAME_SKIP
+
+    # --- fused Pallas rollout (kernels/spatial_step.py) ------------------
+    @property
+    def supports_fused_rollout(self) -> bool:
+        return self.dtype == jnp.float32 and (
+            self.fused_interpret
+            or jax.devices()[0].platform in ("tpu", "axon")
+        )
+
+    def fused_rollout_costs_tak(self, state, controls_tak: jnp.ndarray):
+        """(T, 7, K) clamped controls → (K,) costs; the whole rollout
+        (20-row arm/object QP included) in one Pallas program per
+        K-block. The 'pusher' reward family carries the 9-entry stale
+        xpos snapshot (tips/object/goal) across control steps — the
+        same gym pre-step-data.xpos semantics step_reward pins."""
+        from mpopis_tpu.kernels.spatial_step import (
+            register_family,
+            spatial_rollout_costs_tak,
+        )
+
+        register_family("pusher", 9, _pusher_carry, _make_pusher_reward)
+        return spatial_rollout_costs_tak(
+            MODEL, state.x, controls_tak,
+            frame_skip=_FRAME_SKIP, outer=self.solver_outer,
+            cg=self.solver_cg, actuators=_ACTUATORS, family="pusher",
+            ctrl_w=0.1, interpret=self.fused_interpret,
+        )
+
+    def fused_rollout_costs(self, state, controls: jnp.ndarray):
+        """Same with (K, T, 7) controls."""
+        return self.fused_rollout_costs_tak(
+            state, jnp.transpose(controls, (1, 2, 0))
+        )
 
     def reset(self, key: jax.Array | None = None) -> EnvState:
         """Host-engine reset: qpos0 (all zeros), zero velocity. (The

@@ -81,8 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     mj.add_argument("--no-native", action="store_true", help="use the Python fallback engine")
     mj.add_argument(
         "--on-device", action="store_true",
-        help="run the dynamics on the TPU (pure-JAX; contact-free tasks "
-        "plus HalfCheetah/Hopper/Walker2d with the full contact pipeline)",
+        help="run the dynamics on the TPU (pure-JAX; all 11 tasks — "
+        "contact-free, the HalfCheetah/Hopper/Walker2d planar contact "
+        "pipeline, and the Ant/Pusher/Humanoid/HumanoidStandup 3D "
+        "spatial-contact pipeline)",
     )
     mj.add_argument(
         "--solver-iters", default=None, metavar="OUTER,CG",

@@ -174,30 +174,64 @@ def _simulate_simple(
     )
     _print(print_output, "Trial    #: %12s : %7s: %12s : %7s", "Reward", "Steps", "Reward/Step", "Ex Time")
 
-    pol = get_policy(
-        policy_type, env, num_samples, horizon, lam, alpha, list(u0), list(cov_mat),
-        pol_log, ais_its, lambda_ais, ce_elite_threshold, ce_sigma_est,
-        cma_sigma, cma_elite_threshold,
-    )
+    def _build(use_fused: bool = True):
+        pol = get_policy(
+            policy_type, env, num_samples, horizon, lam, alpha, list(u0),
+            list(cov_mat), pol_log, ais_its, lambda_ais, ce_elite_threshold,
+            ce_sigma_est, cma_sigma, cma_elite_threshold,
+            use_fused_rollout=use_fused,
+        )
+
+        @jax.jit
+        def fused_chunk(s, ps):
+            """`chunk` control steps in one device program; emits per-step
+            [reward, done, act...] rows so the host transfers once per
+            chunk. env.step_reward keeps totals gym-exact for
+            pre-step-reward envs."""
+            def body(carry, _):
+                s, ps = carry
+                act, ps2, _ = pol.step(s, ps)
+                s2, r = env.step_reward(s, act)
+                row = jnp.concatenate([
+                    jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)]),
+                    act.astype(env.dtype),
+                ])
+                return (s2, ps2), row
+            (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
+            return s2, ps2, rows
+
+        return pol, fused_chunk
+
+    pol, fused_chunk = _build()
+    if getattr(env, "supports_fused_rollout", False):
+        # Warm-up compile probe: a Mosaic/TPU kernel-compile regression
+        # degrades to the generic vmap rollout instead of crashing the
+        # task (VERDICT r3 item 2). The compile happens here anyway —
+        # the probe only moves it before the trial loop.
+        try:
+            s_p = env.reset(jax.random.PRNGKey(0))
+            ps_p = pol.init_state(0)
+            if chunk > 1:
+                jax.block_until_ready(fused_chunk(s_p, ps_p)[0].x)
+            else:
+                jax.block_until_ready(pol.step(s_p, ps_p)[0])
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            from mpopis_tpu.utils.fallback import is_kernel_compile_error
+
+            if not is_kernel_compile_error(exc):
+                raise
+            import warnings
+
+            warnings.warn(
+                "fused Pallas rollout failed to compile on this backend "
+                f"({type(exc).__name__}); falling back to the generic "
+                "vmap rollout — expect reduced throughput. Error: "
+                f"{str(exc).splitlines()[0][:200]}",
+                stacklevel=2,
+            )
+            pol, fused_chunk = _build(use_fused=False)
 
     frames = [] if save_gif else None
-
-    @jax.jit
-    def fused_chunk(s, ps):
-        """`chunk` control steps in one device program; emits per-step
-        [reward, done, act...] rows so the host transfers once per chunk.
-        env.step_reward keeps totals gym-exact for pre-step-reward envs."""
-        def body(carry, _):
-            s, ps = carry
-            act, ps2, _ = pol.step(s, ps)
-            s2, r = env.step_reward(s, act)
-            row = jnp.concatenate([
-                jnp.stack([r.astype(env.dtype), s2.done.astype(env.dtype)]),
-                act.astype(env.dtype),
-            ])
-            return (s2, ps2), row
-        (s2, ps2), rows = jax.lax.scan(body, (s, ps), None, length=chunk)
-        return s2, ps2, rows
 
     rews = np.zeros(num_trials)
     steps = np.zeros(num_trials)

@@ -61,6 +61,26 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
     stage-4 cfrc_ext reconstruction reads it)."""
     substep, *_ = build_spatial_stepper(model, unroll_rk4=True)
     na = len(actuators)
+    # Euler substeps return their INPUT q as the stage-4 snapshot
+    # (mj_step leaves data.xpos at the pre-integration qpos), so a
+    # frame_skip fori_loop that carries the snapshot makes the loop
+    # body's q4 output an SSA alias of its q input. Mosaic's loop layout
+    # inference then demands a data->replicated relayout, which is
+    # invalid ("Invalid relayout: Non-singleton logical dimension is
+    # replicated in destination but not in source" — the round-3 Pusher
+    # TPU compile failure, bisected in scripts/aot_bisect_euler.py).
+    # Fix: for Euler models, loop frame_skip-1 substeps with a 3-slot
+    # carry (no snapshot) and run the LAST substep outside the loop —
+    # its returned q4 is the loop's own output q, a fresh non-carried
+    # value. RK4 models compute a fresh stage-4 q inside the substep,
+    # so they keep the single-trace 4-slot loop.
+    euler = model.integrator == "euler_implicit"
+    if euler and frame_skip < 2:
+        raise NotImplementedError(
+            "fused spatial rollout needs frame_skip >= 2 for Euler models "
+            "(the stage-4 snapshot would alias the loop carry; use the "
+            "vmap rollout path for frame_skip == 1)"
+        )
 
     def advance(q, qv, acts):
         zero = jnp.zeros_like(q[0])
@@ -70,6 +90,18 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
             tau[dof] = gear * acts[i]
         tau = tuple(tau)
         lam = jnp.zeros((model.n_rows,) + q[0].shape, dtype=q[0].dtype)
+
+        if euler:
+            def sub3(_, carry):
+                qq, vv, ll = carry
+                q2, v2, l2, _q4 = substep(qq, vv, tau, outer, cg, ll)
+                return (q2, v2, l2)
+
+            q, qv, lam = jax.lax.fori_loop(
+                0, frame_skip - 1, sub3, (q, qv, lam)
+            )
+            q, qv, lam, q4 = substep(q, qv, tau, outer, cg, lam)
+            return q, qv, q4, lam
 
         def sub(_, carry):
             qq, vv, ll, _q4 = carry
@@ -195,6 +227,7 @@ def _spatial_rollout_impl(
     ctrl_w: float,
     block_k: int,
     interpret: bool,
+    vmem_limit_mb: int = 0,
 ) -> jnp.ndarray:
     k = controls_tak.shape[2]
     na = controls_tak.shape[1]
@@ -262,6 +295,18 @@ def _spatial_rollout_impl(
             (1, s_sub, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        # The 242-row Humanoid / 217-row Standup programs spill more live
+        # vregs than XLA:TPU's default 16 MB scoped-vmem allowance
+        # (measured stack: 36.1 MB / 18.7 MB at block 128); v5e VMEM is
+        # 128 MB, so the per-model limit just raises the scheduler's
+        # budget (round-3 Mosaic RESOURCE_EXHAUSTED fix).
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            )
+            if vmem_limit_mb
+            else None
+        ),
     )(state0, ctrl)
     return costs.reshape(-1)[:k]
 
@@ -269,7 +314,7 @@ def _spatial_rollout_impl(
 _STATIC = (
     "model", "horizon", "frame_skip", "outer", "cg", "actuators",
     "family", "track", "healthy", "fwd_w", "ctrl_w", "block_k",
-    "interpret",
+    "interpret", "vmem_limit_mb",
 )
 # The real TPU path compiles through Mosaic (plain jit); interpret mode
 # runs the kernel body as one giant scalar XLA CPU graph, where the
@@ -306,6 +351,7 @@ def spatial_rollout_costs_tak(
     ctrl_w: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
+    vmem_limit_mb: int = 0,
 ) -> jnp.ndarray:
     """(K,) trajectory costs Σ_t −reward for the spatial-contact family.
     Semantically identical to rollout_batch over the env's step_reward
@@ -321,5 +367,5 @@ def spatial_rollout_costs_tak(
     return impl(
         model, state0_x, controls_tak, controls_tak.shape[0], frame_skip,
         outer, cg, tuple(actuators), family, track, healthy, fwd_w,
-        ctrl_w, block_k, interpret,
+        ctrl_w, block_k, interpret, vmem_limit_mb,
     )

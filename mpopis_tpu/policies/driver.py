@@ -189,7 +189,6 @@ def make_policy(
     if cfg.kind == "mppi":
         if cov_block.shape[0] != action_dim:
             raise ValueError("mppi expects an (as, as) covariance")
-        step = _make_mppi_step(env, cfg, u0_flat, cov_block, sample_sharding)
         sigma = cov_block
     else:
         if cov_block.shape[0] == action_dim:
@@ -198,11 +197,60 @@ def make_policy(
             sigma = cov_block
         else:
             raise ValueError("covariance must be (as,as)-block or (cs,cs)")
-        step = _make_gmppi_step(env, cfg, u0_flat, sigma, sample_sharding)
 
+    def build(cfg_):
+        if cfg_.kind == "mppi":
+            return _make_mppi_step(env, cfg_, u0_flat, sigma, sample_sharding)
+        return _make_gmppi_step(env, cfg_, u0_flat, sigma, sample_sharding)
+
+    step = build(cfg)
     if jit:
         step = jax.jit(step)
+        if (
+            cfg.use_fused_rollout
+            and not cfg.log
+            and getattr(env, "supports_fused_rollout", False)
+        ):
+            step = _with_fused_fallback(step, build, cfg)
     return Policy(env=env, cfg=cfg, u0_flat=u0_flat, sigma=sigma, step=step)
+
+
+def _with_fused_fallback(jitted_step, build, cfg):
+    """Degrade to the generic vmap rollout if the fused Pallas kernel
+    fails to COMPILE on this backend (utils/fallback.py) — a Mosaic
+    regression must not crash a vmap-capable task (VERDICT r3 item 2).
+    Only kernel-compile errors trigger the rebuild; everything else
+    propagates. Callers that jit a larger step themselves (jit=False)
+    get the same protection from the harness
+    (simulate.py::_simulate_simple's warm-up probe)."""
+    import dataclasses as _dc
+
+    state = {"step": jitted_step, "fallen_back": False}
+
+    def step(*args, **kwargs):
+        try:
+            return state["step"](*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            from mpopis_tpu.utils.fallback import is_kernel_compile_error
+
+            if state["fallen_back"] or not is_kernel_compile_error(exc):
+                raise
+            import warnings
+
+            warnings.warn(
+                "fused Pallas rollout failed to compile on this backend "
+                f"({type(exc).__name__}); falling back to the generic "
+                "vmap rollout — expect reduced throughput. Error: "
+                f"{str(exc).splitlines()[0][:200]}",
+                stacklevel=2,
+            )
+            state["fallen_back"] = True
+            state["step"] = jax.jit(
+                build(_dc.replace(cfg, use_fused_rollout=False))
+            )
+            return state["step"](*args, **kwargs)
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -308,20 +356,35 @@ def _make_gmppi_step(env, cfg, u0_flat, sigma0, sample_sharding):
 
         def body(carry, n):
             key, k_samp, k_strat = jax.random.split(carry.key, 3)
-            if z is None:
-                z_n = jax.random.normal(k_samp, (cs, k_samples), dtype=dtype)
-            else:
-                z_n = z[n]
-            e = carry.chol @ z_n
-            costs, trajs = compute_costs(
-                env_state, carry.U, e, carry.chol, u_orig, z_n
-            )
-            base = carry.replace(E=e, costs=costs, trajs=trajs)
-            new, stop = strategy.update(base, k_strat, u_orig, n + 1)
-            is_last = n == n_its - 1
-            cand = tree_select(stop | is_last, base, new)
-            cand = cand.replace(done=stop)
-            out = tree_select(carry.done, carry, cand)
+
+            def live(carry):
+                """One full AIS iteration: sample → rollout → update."""
+                if z is None:
+                    z_n = jax.random.normal(
+                        k_samp, (cs, k_samples), dtype=dtype
+                    )
+                else:
+                    z_n = z[n]
+                e = carry.chol @ z_n
+                costs, trajs = compute_costs(
+                    env_state, carry.U, e, carry.chol, u_orig, z_n
+                )
+                base = carry.replace(E=e, costs=costs, trajs=trajs)
+                new, stop = strategy.update(base, k_strat, u_orig, n + 1)
+                is_last = n == n_its - 1
+                cand = tree_select(stop | is_last, base, new)
+                return cand.replace(done=stop)
+
+            # Early stop SKIPS the iteration's arithmetic, rollout
+            # included: once done, the carry flows through a real XLA
+            # branch instead of a masked pass-through that still paid
+            # for the roofline-bound rollout (VERDICT r3 item 5; the
+            # reference breaks out of its host loop,
+            # mppi_mpopi_policies.jl:459-461). Values are identical to
+            # the masked form — tree_select(done, carry, live(carry))
+            # — because the skipped branch returns the carry untouched;
+            # the RNG splits stay outside so key streams are unchanged.
+            out = jax.lax.cond(carry.done, lambda c: c, live, carry)
             return out.replace(key=key), None
 
         final, _ = jax.lax.scan(body, carry0, jnp.arange(n_its))

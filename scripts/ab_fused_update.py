@@ -7,7 +7,10 @@ at opt_its=10 and opt_its=40, times n-step MPC chains, and reports both
 the end-to-end steps/s at opt_its=10 and the per-AIS-iteration slope
 (t40 - t10)/30.
 
-Usage: python scripts/ab_fused_update.py [cemppi|cmamppi|all]
+Usage: python scripts/ab_fused_update.py [cemppi|cmamppi|all] [K] [H]
+
+K/H override the headline shape (8192, 50) — e.g. `cemppi 512 200`
+probes the large-cs/small-K crossover shape (VERDICT r3 item 7).
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ import time
 import numpy as np
 
 
-def main(kinds):
+def main(kinds, k_samples=8192, horizon=50):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +35,7 @@ def main(kinds):
 
     def build(kind, its):
         cfg = PolicyConfig(
-            kind=kind, num_samples=8192, horizon=50, lam=10.0, alpha=1.0,
+            kind=kind, num_samples=k_samples, horizon=horizon, lam=10.0, alpha=1.0,
             opt_its=its, ce_elite_threshold=0.8, sigma_est="ss",
         )
         pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
@@ -84,4 +87,6 @@ def main(kinds):
 
 if __name__ == "__main__":
     arg = sys.argv[1] if len(sys.argv) > 1 else "all"
-    main(["cemppi", "cmamppi"] if arg == "all" else [arg])
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    h = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    main(["cemppi", "cmamppi"] if arg == "all" else [arg], k, h)

@@ -161,6 +161,11 @@ def bench_ais_iter_ms(kind: str = "cemppi", num_samples: int = 8192):
         cfg = PolicyConfig(
             kind=kind, num_samples=num_samples, horizon=50, lam=10.0,
             alpha=1.0, opt_its=its, ce_elite_threshold=0.8, sigma_est="ss",
+            # early stop now SKIPS converged iterations (driver lax.cond),
+            # which would zero the its=40-vs-10 slope for policies that
+            # converge (CMA measured 0.0 ms/it) — disable it here so the
+            # slope keeps measuring the true per-iteration cost.
+            elite_stop_tol=0.0,
         )
         pol = make_policy(env, cfg, cov_mat=np.diag([0.0625, 0.1]), jit=False)
 
@@ -407,49 +412,71 @@ def bench_roofline(num_samples: int = 8192, horizon: int = 50,
         unreliable = not math.isfinite(per_call) or per_call < floor_s
 
     # Cross-check methodology (VERDICT r3 weak-1: three measurements of
-    # the same kernel disagreed 3.4x): the same serialized chain inside
-    # ONE jitted lax.scan — zero per-call host dispatch, the
-    # bench_device_rate pattern. ms/call from both methods must agree;
-    # the scan number is the program's true per-call cost.
-    n_scan = 50
+    # the same kernel disagreed 3.4x): the serialized chain inside ONE
+    # jitted lax.scan, as a SLOPE over two scan lengths so the relay's
+    # fixed dispatch+transfer roundtrip cancels (a single-length scan
+    # embeds one ~20ms roundtrip and overstates ms/call). The kernel
+    # input is built fresh from a scalar carry each iteration — exactly
+    # how the AIS driver feeds it — because routing the full carried
+    # tensor through the pallas operand measures carry plumbing, not the
+    # kernel.
+    def scan_chain(n_scan: int):
+        @jax.jit
+        def run(t0):
+            def body(t, _):
+                costs = env.fused_rollout_costs_tak(s0, ctrl_tak + t)
+                return t + jnp.sum(costs) * 1e-20, None
+            t, _ = jax.lax.scan(body, t0, None, length=n_scan)
+            return t
+        return run
 
-    @jax.jit
-    def scan_chain(c):
-        def body(c, _):
-            costs = env.fused_rollout_costs_tak(s0, c)
-            return c + costs[None, None, :] * 1e-12, None
-        c, _ = jax.lax.scan(body, c, None, length=n_scan)
-        return c
+    short_n, long_n = 10, 60
+    run_s, run_l = scan_chain(short_n), scan_chain(long_n)
+    zero = jnp.float32(0.0)
+    _timed_first("car_kernel_scan", lambda: np.asarray(run_s(zero)))
+    np.asarray(run_l(zero))  # compile the long chain too
 
-    _timed_first("car_kernel_scan", lambda: np.asarray(scan_chain(ctrl_tak)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(scan_chain(ctrl_tak))
-        ts.append(time.perf_counter() - t0)
-    per_call_scan = min(ts) / n_scan
+    def measure(run):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(run(zero))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    if not math.isfinite(per_call):
-        per_call = per_call_scan  # host-loop slope unmeasurable: use scan
-        unreliable = per_call < floor_s
-    gflops = flops / per_call_scan / 1e9
+    per_call_scan = (measure(run_l) - measure(run_s)) / (long_n - short_n)
+    if per_call_scan <= 0:  # scan slope itself jittered away: fall back
+        per_call_scan = float("nan")
+
+    # The in-graph scan slope is authoritative: the host-loop slope has
+    # ranged 0.35-1.18 ms across rounds on the SAME kernel (relay
+    # jitter), while the scan slope reconciles with the independently
+    # measured 0.5-0.6 ms full-AIS-iteration cost that contains this
+    # rollout. Fall back to the host loop only when the scan slope
+    # itself jittered away.
+    best = per_call_scan if math.isfinite(per_call_scan) else per_call
+    unreliable = not math.isfinite(best) or best < floor_s
+    gflops = flops / best / 1e9
     out = {
         "kernel": "car_rollout_fused",
         "flops_per_call": int(flops),
         "ms_per_call_hostloop_slope": round(per_call * 1e3, 3),
-        "ms_per_call": round(per_call_scan * 1e3, 3),
+        "ms_per_call_scan_slope": round(per_call_scan * 1e3, 3),
+        "ms_per_call": round(best * 1e3, 3),
         "ms_floor_vpu_peak": round(floor_s * 1e3, 3),
         "achieved_gflop_s": round(gflops, 1),
         "vpu_roofline_pct": round(100.0 * gflops * 1e9 / _VPU_PEAK_F32, 1),
         "mxu_roofline_pct": round(100.0 * gflops * 1e9 / _MXU_PEAK_F32, 2),
-        "methods_agree_pct": round(
-            100.0 * abs(per_call - per_call_scan)
-            / max(per_call_scan, 1e-12), 1,
-        ),
     }
-    if unreliable or per_call_scan < floor_s:
+    if math.isfinite(per_call) and math.isfinite(per_call_scan):
+        out["methods_agree_pct"] = round(
+            100.0 * abs(per_call - per_call_scan) / per_call_scan, 1
+        )
+    if unreliable:
         out["unreliable"] = True
-        out["reason"] = "implied utilization exceeds the VPU peak"
+        out["reason"] = (
+            "slope unmeasurable or implied utilization exceeds the VPU peak"
+        )
     return out
 
 

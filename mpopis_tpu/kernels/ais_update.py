@@ -60,9 +60,13 @@ def fused_update_enabled(dtype) -> bool:
     faster end-to-end — cemppi 0.556 vs 0.522 ms/AIS-iteration, cmamppi
     0.768 vs 0.648 — because the per-iteration cost is dominated by the
     roofline-bound rollout (~0.49 ms of the 0.52), not the refit chain
-    XLA already overlaps well. Kept as an opt-in path (validated vs the
-    XLA composition on TPU and under the interpreter) for future shapes
-    where the small-linalg chain does dominate (large cs, small K)."""
+    XLA already overlaps well. Round 4 probed the hypothesized
+    large-cs/small-K crossover and it does not exist — the loss GROWS
+    with cs (x0.55 end-to-end at K=512/H=200/cs=400, x0.51 at
+    K=128/H=256/cs=512; BENCH.md round-4) — so these kernels are
+    RETIRED to experiment status: validated vs the XLA composition on
+    TPU and under the interpreter, kept as regression coverage for
+    Pallas small-linalg patterns, never the default."""
     env = os.environ.get("MPOPIS_FUSED_UPDATE", "").strip()
     if env == "1":  # force on (non-TPU backends run the interpreter)
         return jnp.dtype(dtype) == jnp.float32

@@ -10,6 +10,11 @@ structure (pairs, condim, friction, includemargin, solref/solimp, KBIP).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -11,6 +11,11 @@ contact structure. The 3D sibling of scripts/probe_planar.py.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

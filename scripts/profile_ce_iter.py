@@ -13,6 +13,11 @@ data dependency so it can't be elided, then slope-timed against a
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

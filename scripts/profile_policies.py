@@ -6,6 +6,11 @@ transfer, which cancels the relay's fixed dispatch/transfer latency.
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
-                     actuators):
+                     actuators, rk4_loop: bool = True):
     """(q, qv, acts) -> (q', qv', q_stage4, λ) over one control step;
     λ warm-starts across substeps and RK stages, reset at control-step
     boundaries — identical semantics to the env.step scan (the vmap
@@ -58,8 +58,15 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
     reads (last RK stage for RK4 models, the penultimate/pre-integration
     qpos for Euler models — both are what mj_step leaves in data.xpos);
     λ is the final substep's contact impulses (the Standup family's
-    stage-4 cfrc_ext reconstruction reads it)."""
-    substep, *_ = build_spatial_stepper(model, unroll_rk4=True)
+    stage-4 cfrc_ext reconstruction reads it).
+
+    `rk4_loop` selects the fori_loop RK4 stage form (1x qacc live
+    window) instead of the 4x-unrolled form — the unroll spills ~36 MB
+    of live vregs on the 242-row humanoid (spatial_contact.py
+    rk4_substep_loop docstring); ignored for Euler models."""
+    substep, *_ = build_spatial_stepper(
+        model, rk4_mode="loop" if rk4_loop else "unroll"
+    )
     na = len(actuators)
     # Euler substeps return their INPUT q as the stage-4 snapshot
     # (mj_step leaves data.xpos at the pre-integration qpos), so a
@@ -90,6 +97,19 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
             tau[dof] = gear * acts[i]
         tau = tuple(tau)
         lam = jnp.zeros((model.n_rows,) + q[0].shape, dtype=q[0].dtype)
+
+        if rk4_loop and not euler:
+            # Anchor every loop-carry init to DATA layout via the acts
+            # block (the kernel's only guaranteed data-layout input):
+            # Mosaic infers fori_loop carry layouts from the init, and a
+            # replicated init (SMEM state broadcast at t=0) against the
+            # data-layout body output demands the invalid
+            # data->replicated relayout (rk4_substep_loop docstring).
+            # x + 0 is exact for finite f32.
+            anchor = acts[0] * jnp.asarray(0.0, dtype=q[0].dtype)
+            q = tuple(x + anchor for x in q)
+            qv = tuple(x + anchor for x in qv)
+            lam = lam + anchor
 
         if euler:
             def sub3(_, carry):
@@ -228,6 +248,7 @@ def _spatial_rollout_impl(
     block_k: int,
     interpret: bool,
     vmem_limit_mb: int = 0,
+    rk4_loop: bool = True,
 ) -> jnp.ndarray:
     k = controls_tak.shape[2]
     na = controls_tak.shape[1]
@@ -267,7 +288,9 @@ def _spatial_rollout_impl(
         ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
     state0 = state0_x[:n_state].astype(jnp.float32).reshape(1, -1)
 
-    advance = _spatial_advance(model, frame_skip, outer, cg, actuators)
+    advance = _spatial_advance(
+        model, frame_skip, outer, cg, actuators, rk4_loop=rk4_loop
+    )
     kernel = _make_kernel(
         model.n_q, model.n_dof, na, advance, horizon, n_carry, carry_fn,
         reward_fn, block_k,
@@ -314,7 +337,7 @@ def _spatial_rollout_impl(
 _STATIC = (
     "model", "horizon", "frame_skip", "outer", "cg", "actuators",
     "family", "track", "healthy", "fwd_w", "ctrl_w", "block_k",
-    "interpret", "vmem_limit_mb",
+    "interpret", "vmem_limit_mb", "rk4_loop",
 )
 # The real TPU path compiles through Mosaic (plain jit); interpret mode
 # runs the kernel body as one giant scalar XLA CPU graph, where the
@@ -352,6 +375,7 @@ def spatial_rollout_costs_tak(
     block_k: int = 512,
     interpret: bool = False,
     vmem_limit_mb: int = 0,
+    rk4_loop: bool = True,
 ) -> jnp.ndarray:
     """(K,) trajectory costs Σ_t −reward for the spatial-contact family.
     Semantically identical to rollout_batch over the env's step_reward
@@ -367,5 +391,5 @@ def spatial_rollout_costs_tak(
     return impl(
         model, state0_x, controls_tak, controls_tak.shape[0], frame_skip,
         outer, cg, tuple(actuators), family, track, healthy, fwd_w,
-        ctrl_w, block_k, interpret, vmem_limit_mb,
+        ctrl_w, block_k, interpret, vmem_limit_mb, rk4_loop,
     )

@@ -207,6 +207,10 @@ class AntDeviceEnv(Env):
     solver_outer: int = 3
     solver_cg: int = 6
     fused_interpret: bool = False
+    # Fused-kernel tile along K and Mosaic scoped-vmem budget (MB, 0 =
+    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py.
+    block_k: int = 512
+    vmem_limit_mb: int = 0
 
     state_dim = 30
     action_dim = 8
@@ -237,7 +241,9 @@ class AntDeviceEnv(Env):
             MODEL, state.x, controls_tak,
             frame_skip=_FRAME_SKIP, outer=self.solver_outer,
             cg=self.solver_cg, actuators=_ACTUATORS, track="q0",
-            healthy=1.0, ctrl_w=0.5, interpret=self.fused_interpret,
+            healthy=1.0, ctrl_w=0.5, block_k=self.block_k,
+            interpret=self.fused_interpret,
+            vmem_limit_mb=self.vmem_limit_mb,
         )
 
     def fused_rollout_costs(self, state, controls: jnp.ndarray):

@@ -230,6 +230,10 @@ class PusherDeviceEnv(Env):
 
     solver_outer: int = 3
     solver_cg: int = 6
+    # Fused-kernel tile along K and Mosaic scoped-vmem budget (MB, 0 =
+    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py.
+    block_k: int = 512
+    vmem_limit_mb: int = 0
     fused_interpret: bool = False
 
     state_dim = 31
@@ -265,7 +269,9 @@ class PusherDeviceEnv(Env):
             MODEL, state.x, controls_tak,
             frame_skip=_FRAME_SKIP, outer=self.solver_outer,
             cg=self.solver_cg, actuators=_ACTUATORS, family="pusher",
-            ctrl_w=0.1, interpret=self.fused_interpret,
+            ctrl_w=0.1, block_k=self.block_k,
+            interpret=self.fused_interpret,
+            vmem_limit_mb=self.vmem_limit_mb,
         )
 
     def fused_rollout_costs(self, state, controls: jnp.ndarray):

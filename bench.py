@@ -8,6 +8,8 @@ default config at examples/car_example.jl:51-68, scaled to 8192 samples).
 vs_baseline divides by the only wall-clock the reference publishes:
 ~2.56 control steps/s (HalfCheetah CEMPPI trial, README.md:90-95; the
 reference has no faster published config at any sample count).
+`cheetah_e2e_vs_baseline` is the SAME-task ratio (our HalfCheetah
+end-to-end rate over that 2.56), surfaced top-level (VERDICT r4 item 7).
 
 The details block captures EVERY headline number README.md/BENCH.md claim
 (per-task kernel env-steps/s, end-to-end control rates for the contact
@@ -19,12 +21,31 @@ retries reports NaN -> the affected entry is marked unmeasurable rather
 than fabricating a rate; the roofline block cross-checks implied
 utilization against the physical VPU peak and flags itself "unreliable"
 instead of shipping an impossible number (BENCH_r02.json shipped 2830%).
+
+Delivery rules (round 5 — BENCH_r03 shipped parsed:null, BENCH_r04
+shipped rc=124 with NO output; two rounds of perf work went
+driver-unverified, VERDICT r4 item 1):
+- the headline runs FIRST; the JSON line is emitted from a try/finally
+  AND from a SIGTERM/SIGINT handler, so a killed or crashed run still
+  ships whatever was measured (entries not reached read "skipped:");
+- every entry runs under a signal.alarm timeout (MPOPIS_BENCH_ENTRY_S,
+  default 240 s; the headline gets MPOPIS_BENCH_HEADLINE_S, 900 s);
+- a wall-clock budget (MPOPIS_BENCH_BUDGET_S, default 1500 s) skips
+  remaining entries rather than risking the driver's kill;
+- entries are ordered by evidence value: headline, then the three
+  spatial tasks that have never had a driver-verified number
+  (pusher/humanoid/standup), then cheetah e2e (the same-task baseline
+  ratio), then everything else.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
+import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -32,6 +53,97 @@ import numpy as np
 BASELINE_STEPS_PER_S = 50.0 / 19.54  # reference README.md:90-95
 
 COMPILE_TIMES: dict[str, float] = {}  # per-bench first-call (compile) wall
+
+# --- delivery machinery (emit-on-partial; see module docstring) -----------
+
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("MPOPIS_BENCH_BUDGET_S", "1500"))
+ENTRY_TIMEOUT_S = float(os.environ.get("MPOPIS_BENCH_ENTRY_S", "240"))
+HEADLINE_TIMEOUT_S = float(os.environ.get("MPOPIS_BENCH_HEADLINE_S", "900"))
+
+RESULT: dict = {
+    "metric": "car_racing_control_steps_per_s_K8192_H50",
+    "value": None,
+    "unit": "control_steps/s",
+    "vs_baseline": None,
+    "cheetah_e2e_vs_baseline": None,
+    "details": {},
+}
+_EMITTED = False
+_EMIT_LOCK = None  # created lazily (threading import below)
+
+
+class EntryTimeout(Exception):
+    pass
+
+
+def _emit(note: str | None = None) -> None:
+    """Print the result JSON exactly once. Safe to call from a signal
+    handler or the watchdog thread mid-entry: RESULT/details are mutated
+    in place as entries finish, so a partial run emits everything
+    measured so far."""
+    global _EMITTED
+    import threading
+
+    global _EMIT_LOCK
+    if _EMIT_LOCK is None:
+        _EMIT_LOCK = threading.Lock()
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    if note:
+        RESULT["details"]["partial"] = note
+    RESULT["details"]["elapsed_s"] = round(time.monotonic() - T_START, 1)
+    RESULT["details"]["compile_s"] = COMPILE_TIMES
+    try:
+        line = json.dumps(RESULT)
+        json.loads(line)  # self-check: must round-trip
+        assert "\n" not in line
+    except Exception:
+        try:  # concurrent mutation: retry on a shallow copy
+            snap = dict(RESULT)
+            snap["details"] = dict(RESULT["details"])
+            line = json.dumps(snap)
+        except Exception:  # a detail value resisted serialization
+            minimal = {k: RESULT.get(k) for k in
+                       ("metric", "value", "unit", "vs_baseline")}
+            minimal["details"] = {"error": "details failed json self-check"}
+            line = json.dumps(minimal)
+    sys.stderr.flush()
+    # leading newline: the line must be parseable even if prior stdout
+    # output was cut mid-line by the signal
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
+
+
+def _on_term(signum, frame):  # driver timeout sends SIGTERM (rc=124)
+    _emit(note=f"killed by signal {signum}")
+    os._exit(98)
+
+
+def _on_alarm(signum, frame):
+    raise EntryTimeout()
+
+
+def _start_watchdog() -> None:
+    """Backstop for the backstop: SIGTERM/SIGALRM handlers only run when
+    the MAIN thread regains control, which a multi-minute blocking C call
+    (remote-relay compile RPC) can defer past the driver's kill grace.
+    A daemon thread needs no signal delivery: past budget+120s it emits
+    whatever was measured and exits the process itself."""
+    import threading
+
+    def watch():
+        deadline = T_START + BUDGET_S + 120.0
+        while not _EMITTED:
+            time.sleep(5.0)
+            if not _EMITTED and time.monotonic() > deadline:
+                _emit(note="watchdog: budget+120s exceeded "
+                           "(main thread blocked in a C call)")
+                os._exit(97)
+
+    threading.Thread(target=watch, daemon=True, name="bench-watchdog").start()
 
 
 def _slope(run, n_short: int, n_long: int, reps: int = 3,
@@ -86,19 +198,29 @@ def _mpc_steps_per_s(env, cfg, cov_mat, tag: str, n_short: int = 10,
     TPUs); the transfer forces real completion, which a bare
     block_until_ready does not reliably do through the relay.
     """
-    import jax
-
     from mpopis_tpu.policies import make_policy
+    from mpopis_tpu.utils.fallback import jit_with_fused_fallback
 
-    pol = make_policy(env, cfg, cov_mat=cov_mat, jit=False)
+    pols = {}
 
-    @jax.jit
-    def mpc_step(env_state, pol_state):
-        action, pol_state, _ = pol.step(env_state, pol_state)
-        return env.step(env_state, action), pol_state
+    def build(use_fused: bool):
+        cfg_ = dataclasses.replace(
+            cfg, use_fused_rollout=use_fused and cfg.use_fused_rollout
+        )
+        pol = pols.setdefault(
+            use_fused, make_policy(env, cfg_, cov_mat=cov_mat, jit=False)
+        )
+
+        def mpc_step(env_state, pol_state):
+            action, pol_state, _ = pol.step(env_state, pol_state)
+            return env.step(env_state, action), pol_state
+
+        return mpc_step
+
+    mpc_step = jit_with_fused_fallback(build, label=tag)
 
     def fresh():
-        return env.reset(), pol.init_state(1)
+        return env.reset(), next(iter(pols.values())).init_state(1)
 
     def run(n: int) -> float:
         s, ps = fresh()
@@ -114,8 +236,8 @@ def _mpc_steps_per_s(env, cfg, cov_mat, tag: str, n_short: int = 10,
     run(2)  # settle
     if spread:
         med, spr = _slope_spread(run, n_short, n_long)
-        return 1.0 / med, spr
-    return 1.0 / _slope(run, n_short, n_long)
+        return 1.0 / med, spr, mpc_step.fell_back()
+    return 1.0 / _slope(run, n_short, n_long), mpc_step.fell_back()
 
 
 def bench_car_racing(num_samples: int, horizon: int = 50, ais_its: int = 10,
@@ -202,8 +324,9 @@ def bench_reacher_on_device(num_samples: int = 8192, horizon: int = 15):
     env = ReacherDeviceEnv(dtype=jnp.float32)
     cfg = PolicyConfig(kind="cemppi", num_samples=num_samples, horizon=horizon,
                        lam=0.05, opt_its=3, sigma_est="mle")
-    sps = _mpc_steps_per_s(env, cfg, [0.02, 0.02], "reacher_e2e")
-    return num_samples * horizon * 3 * sps  # env-steps/s
+    sps, fb = _mpc_steps_per_s(env, cfg, [0.02, 0.02], "reacher_e2e")
+    # env-steps/s = control steps/s x K x H x AIS its
+    return _fmt_rate(sps, fb, scale=num_samples * horizon * 3, nd=0)
 
 
 # Headline fused-kernel shapes (BENCH.md round-2/3 tables). The 3D
@@ -243,19 +366,30 @@ def bench_device_rate(env, cfg, cov, tag: str, n: int = 30):
     import jax
 
     from mpopis_tpu.policies import make_policy
+    from mpopis_tpu.utils.fallback import jit_with_fused_fallback
 
-    pol = make_policy(env, cfg, cov_mat=cov, jit=False)
+    pols = {}
 
-    @jax.jit
-    def run(s, ps):
-        def body(c, _):
-            s, ps = c
-            a, ps2, _ = pol.step(s, ps)
-            return (env.step(s, a), ps2), None
-        (s, ps), _ = jax.lax.scan(body, (s, ps), None, length=n)
-        return s.x
+    def build(use_fused: bool):
+        cfg_ = dataclasses.replace(
+            cfg, use_fused_rollout=use_fused and cfg.use_fused_rollout
+        )
+        pol = pols.setdefault(
+            use_fused, make_policy(env, cfg_, cov_mat=cov, jit=False)
+        )
 
-    s, ps = env.reset(), pol.init_state(1)
+        def run(s, ps):
+            def body(c, _):
+                s, ps = c
+                a, ps2, _ = pol.step(s, ps)
+                return (env.step(s, a), ps2), None
+            (s, ps), _ = jax.lax.scan(body, (s, ps), None, length=n)
+            return s.x
+
+        return run
+
+    run = jit_with_fused_fallback(build, label=tag)
+    s, ps = env.reset(), next(iter(pols.values())).init_state(1)
     x = _timed_first(tag, lambda: np.asarray(run(s, ps)))
     assert bool(np.isfinite(x).all())
     ts = []
@@ -263,16 +397,20 @@ def bench_device_rate(env, cfg, cov, tag: str, n: int = 30):
         t0 = time.perf_counter()
         np.asarray(run(s, ps))
         ts.append(time.perf_counter() - t0)
-    return n / min(ts)
+    return _fmt_rate(n / min(ts), run.fell_back())
 
 
 def bench_kernel_env_steps(task: str):
     """Raw fused-rollout kernel env-steps/s for one contact task (the
-    rollout alone, serialized through a data dependency)."""
+    rollout alone, serialized through a data dependency). If the kernel
+    fails to COMPILE, the vmap rollout rate ships instead, labeled — a
+    Mosaic regression must show up as a (slower) rate, not missing data."""
     import importlib
 
-    import jax
     import jax.numpy as jnp
+
+    from mpopis_tpu.models.rollout import rollout_batch
+    from mpopis_tpu.utils.fallback import jit_with_fused_fallback
 
     cls_name, num_samples, horizon, (n_short, n_long) = _KERNEL_TASKS[task]
     models = importlib.import_module("mpopis_tpu.models")
@@ -286,10 +424,20 @@ def bench_kernel_env_steps(task: str):
     )
     s0 = env.reset()
 
-    @jax.jit
-    def chain(c):
-        costs = env.fused_rollout_costs_tak(s0, c)
-        return c + costs[None, None, :] * 1e-12  # serialize the chain
+    def build(use_fused: bool):
+        if use_fused:
+            def chain(c):
+                costs = env.fused_rollout_costs_tak(s0, c)
+                return c + costs[None, None, :] * 1e-12  # serialize
+        else:
+            def chain(c):
+                costs, _ = rollout_batch(
+                    env, s0, jnp.transpose(c, (2, 0, 1)), False
+                )
+                return c + costs[None, None, :] * 1e-12
+        return chain
+
+    chain = jit_with_fused_fallback(build, label=f"{task}_kernel")
 
     def run(n: int) -> float:
         c = ctrl0
@@ -301,7 +449,9 @@ def bench_kernel_env_steps(task: str):
 
     _timed_first(f"{task}_kernel", lambda: run(1))
     per_call = _slope(run, n_short, n_long)
-    return num_samples * horizon / per_call
+    return _fmt_rate(
+        num_samples * horizon / per_call, chain.fell_back(), nd=0
+    )
 
 
 def bench_contact_e2e(task: str):
@@ -321,9 +471,10 @@ def bench_contact_e2e(task: str):
     cfg = PolicyConfig(kind="cemppi", num_samples=num_samples,
                        horizon=horizon, lam=lam, opt_its=opt_its,
                        sigma_est="mle")
-    return _mpc_steps_per_s(
+    rate, fb = _mpc_steps_per_s(
         env, cfg, [cov] * env.action_dim, f"{task}_e2e", n_short=5, n_long=30
     )
+    return _fmt_rate(rate, fb)
 
 
 # Public TPU v5e (lite) per-chip peaks: 197 bf16 TFLOP/s on the MXUs
@@ -492,7 +643,33 @@ def _sanitize(text: str, limit: int = 200) -> str:
     return text[:limit]
 
 
-def _entry(details: dict, key: str, fn) -> None:
+def _fmt_rate(rate, fell_back: bool = False, scale: float = 1.0, nd: int = 1):
+    """Round a measured rate; label it when it came from the vmap
+    fallback instead of the fused kernel (VERDICT r4 item 5: fallback
+    rows must be visible as rates, never silently-skipped entries)."""
+    v = rate * scale
+    if isinstance(v, float) and not math.isfinite(v):
+        return "unmeasurable: slope stayed non-positive after retries"
+    v = round(v, nd) if nd > 0 else int(round(v))
+    if fell_back:
+        return {"value": v, "fallback": "vmap (fused kernel failed to compile)"}
+    return v
+
+
+def _entry(details: dict, key: str, fn, timeout: float | None = None) -> None:
+    """Run one measurement under the wall-clock budget and a per-entry
+    signal.alarm timeout; a failure/timeout records a 'skipped:' row and
+    the bench moves on (the final JSON always ships — VERDICT r4 item 1)."""
+    if time.monotonic() - T_START > BUDGET_S:
+        details[key] = "skipped: budget exhausted"
+        return
+    timeout = timeout if timeout is not None else ENTRY_TIMEOUT_S
+    # never let one entry run past the budget by more than a minute
+    # (alarm(0) would DISABLE the alarm, hence the floor of 1s)
+    remaining = BUDGET_S - (time.monotonic() - T_START)
+    timeout = max(1.0, min(timeout, remaining + 60.0))
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(timeout))
     try:
         v = fn()
         if isinstance(v, float) and not math.isfinite(v):
@@ -500,30 +677,66 @@ def _entry(details: dict, key: str, fn) -> None:
         elif isinstance(v, float):
             v = round(v, 1)
         details[key] = v
+    except EntryTimeout:
+        details[key] = f"skipped: entry timeout ({int(timeout)}s)"
     except Exception as exc:  # mujoco-free images etc.: skip the detail
         details[key] = f"skipped: {_sanitize(f'{type(exc).__name__}: {exc}')}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
-def main() -> None:
-    from mpopis_tpu.utils.cache import enable_compilation_cache
+def _measure_headline(details: dict) -> None:
+    sps, spread_pct, fb = bench_car_racing(8192, spread=True)
+    if math.isfinite(sps):
+        RESULT["value"] = round(sps, 3)
+        RESULT["vs_baseline"] = round(sps / BASELINE_STEPS_PER_S, 2)
+    details["spread_pct_K8192"] = round(spread_pct, 1)
+    if fb:
+        details["headline_fallback"] = "vmap (fused kernel failed to compile)"
 
-    enable_compilation_cache()
 
-    sps_8192, spread_pct = bench_car_racing(8192, spread=True)
-    details = {
-        "spread_pct_K8192": round(spread_pct, 1),
-        "baseline_steps_per_s": round(BASELINE_STEPS_PER_S, 3),
-        "config": "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing",
-    }
-    _entry(details, "K150_H50_steps_per_s", lambda: bench_car_racing(150))
-    _entry(details, "cmamppi_K8192_steps_per_s",
-           lambda: bench_car_racing(8192, kind="cmamppi"))
-    _entry(details, "reacher_on_device_env_steps_per_s",
-           lambda: round(bench_reacher_on_device(), 0))
-    for task in _KERNEL_TASKS:
+def _run_all(details: dict) -> None:
+    # The headline FIRST (VERDICT r4 item 1) with its own long timeout:
+    # everything after it is detail, and a partial artifact with a finite
+    # headline already certifies the round.
+    _entry(details, "headline_status",
+           lambda: (_measure_headline(details), "ok")[1],
+           timeout=HEADLINE_TIMEOUT_S)
+
+    # The three spatial tasks that have NEVER had a driver-verified
+    # number (r3 Mosaic failures, r4 timeout — VERDICT r4 item 2) run
+    # immediately after the headline, before any repeat-coverage entry.
+    for task in ("pusher", "humanoid", "standup"):
         _entry(details, f"{task}_kernel_env_steps_per_s",
-               lambda t=task: round(bench_kernel_env_steps(t), 0))
-    for task in _E2E_TASKS:
+               lambda t=task: bench_kernel_env_steps(t), timeout=420)
+    for task in ("pusher", "humanoid", "standup"):
+        _entry(details, f"{task}_e2e_control_steps_per_s",
+               lambda t=task: bench_contact_e2e(t), timeout=420)
+
+    # Same-task baseline ratio (VERDICT r4 item 7): our HalfCheetah e2e
+    # rate over the reference's published 2.56 steps/s wall-clock.
+    def _cheetah():
+        v = bench_contact_e2e("cheetah")
+        val = v.get("value") if isinstance(v, dict) else v
+        if isinstance(val, (int, float)) and math.isfinite(val):
+            RESULT["cheetah_e2e_vs_baseline"] = round(
+                val / BASELINE_STEPS_PER_S, 2
+            )
+        return v
+
+    _entry(details, "cheetah_e2e_control_steps_per_s", _cheetah)
+
+    _entry(details, "K150_H50_steps_per_s",
+           lambda: _fmt_rate(*bench_car_racing(150)))
+    _entry(details, "cmamppi_K8192_steps_per_s",
+           lambda: _fmt_rate(*bench_car_racing(8192, kind="cmamppi")))
+    _entry(details, "reacher_on_device_env_steps_per_s",
+           bench_reacher_on_device)
+    for task in ("cheetah", "hopper", "walker2d", "swimmer", "ant"):
+        _entry(details, f"{task}_kernel_env_steps_per_s",
+               lambda t=task: bench_kernel_env_steps(t))
+    for task in ("swimmer", "ant"):
         _entry(details, f"{task}_e2e_control_steps_per_s",
                lambda t=task: bench_contact_e2e(t))
 
@@ -567,7 +780,8 @@ def main() -> None:
            lambda: round(bench_ais_iter_ms("cemppi"), 3))
     _entry(details, "cmamppi_ms_per_ais_iteration",
            lambda: round(bench_ais_iter_ms("cmamppi"), 3))
-    try:
+
+    def _harness():
         # end-to-end harness wall-clock (chunked MPC, telemetry + lap/
         # violation bookkeeping included); trial 2 excludes compiles
         from mpopis_tpu.harness import simulate_car_racing
@@ -575,38 +789,38 @@ def main() -> None:
         metrics = simulate_car_racing(
             num_trials=2, num_steps=100, seed=7, laps=1, print_output=False
         )
-        details["harness_steps_per_s_K150"] = round(
-            float(metrics["control_steps_per_s"][1]), 1
-        )
-    except Exception as exc:
-        details["harness_steps_per_s_K150"] = (
-            f"skipped: {_sanitize(f'{type(exc).__name__}: {exc}')}"
-        )
-    details["compile_s"] = COMPILE_TIMES
-    value = round(sps_8192, 3) if math.isfinite(sps_8192) else None
-    line = json.dumps(
-        {
-            "metric": "car_racing_control_steps_per_s_K8192_H50",
-            "value": value,
-            "unit": "control_steps/s",
-            "vs_baseline": (
-                round(sps_8192 / BASELINE_STEPS_PER_S, 2)
-                if math.isfinite(sps_8192)
-                else None
-            ),
-            "details": details,
-        }
-    )
-    # Self-check before emitting (VERDICT r3 item 3: BENCH_r03 shipped
-    # parsed:null): the line must round-trip and stay one line; all
-    # logging above goes to stderr, so the last stdout line IS the JSON.
-    parsed = json.loads(line)
-    assert parsed["metric"], "bench JSON self-check failed"
-    assert "\n" not in line, "bench JSON must be a single line"
-    import sys
+        return round(float(metrics["control_steps_per_s"][1]), 1)
 
-    sys.stderr.flush()
-    print(line, flush=True)
+    _entry(details, "harness_steps_per_s_K150", _harness)
+
+    # One retry if the headline itself failed (compile may have landed in
+    # the persistent cache meanwhile) — the artifact must not ship with a
+    # null value while budget remains.
+    if RESULT["value"] is None and time.monotonic() - T_START < BUDGET_S:
+        _entry(details, "headline_status_retry",
+               lambda: (_measure_headline(details), "ok")[1],
+               timeout=HEADLINE_TIMEOUT_S)
+
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    _start_watchdog()
+    details = RESULT["details"]
+    details["baseline_steps_per_s"] = round(BASELINE_STEPS_PER_S, 3)
+    details["config"] = (
+        "cemppi, H=50, ais_its=10, ss-shrinkage, bicycle car racing"
+    )
+    details["budget_s"] = BUDGET_S
+    try:
+        from mpopis_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        _run_all(details)
+    finally:
+        # The artifact ALWAYS ships: crashes and kills included
+        # (BENCH_r03 parsed:null, BENCH_r04 rc=124 — VERDICT r4 item 1).
+        _emit()
 
 
 if __name__ == "__main__":

@@ -37,10 +37,11 @@ tests/test_kernels.py in interpret mode):
   step-size chain, the quirk-form rank-mu Sigma update, symmetrization,
   jitter and Cholesky (mppi_mpopi_policies.jl:578-606).
 
-Enablement: `fused_update_enabled(dtype)` — on by default on the TPU
-backend in f32 (MPOPIS_FUSED_UPDATE=0 disables, =1 forces where legal);
-every other backend keeps the pure-jnp path (the f64 CPU test suite and
-the parity oracle are untouched).
+Enablement: `fused_update_enabled(dtype)` — RETIRED to opt-in experiment
+status after two rounds of negative results (see its docstring):
+MPOPIS_FUSED_UPDATE=1 enables the kernels in f32 (non-TPU backends run
+the Pallas interpreter); anything else keeps the pure-jnp path, which
+measured faster at every shape tested (BENCH.md round-4 table).
 """
 
 from __future__ import annotations

@@ -42,3 +42,43 @@ def is_kernel_compile_error(exc: BaseException) -> bool:
             return True
         e = e.__cause__ or e.__context__
     return False
+
+
+def jit_with_fused_fallback(build, label: str = ""):
+    """Probe-and-degrade for callers that jit a larger step THEMSELVES
+    (`make_policy(..., jit=False)` users: bench.py, __graft_entry__) —
+    the jit=True path already degrades inside `make_policy`
+    (driver.py::_with_fused_fallback), but a Mosaic regression in the
+    jit=False path used to surface as a hard error / silently-skipped
+    bench row instead of a vmap rate (VERDICT r4 item 5/6).
+
+    `build(use_fused: bool) -> fn` constructs the step function; the
+    returned wrapper runs `jax.jit(build(True))` and, on the FIRST
+    kernel-compile failure, rebuilds with `build(False)` and retries.
+    Non-kernel errors propagate. `wrapper.fell_back()` reports whether
+    the degrade fired (callers label their measurement "vmap fallback").
+    """
+    import jax
+
+    state = {"fn": jax.jit(build(True)), "fell_back": False}
+
+    def call(*args, **kwargs):
+        try:
+            return state["fn"](*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            if state["fell_back"] or not is_kernel_compile_error(exc):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"fused Pallas rollout failed to compile{' for ' + label if label else ''} "
+                f"({type(exc).__name__}); falling back to the generic vmap "
+                f"rollout. Error: {str(exc).splitlines()[0][:200]}",
+                stacklevel=2,
+            )
+            state["fell_back"] = True
+            state["fn"] = jax.jit(build(False))
+            return state["fn"](*args, **kwargs)
+
+    call.fell_back = lambda: state["fell_back"]
+    return call

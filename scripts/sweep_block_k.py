@@ -86,9 +86,20 @@ def main(task: str, k: int, horizon: int, blocks: list[int]):
             np.asarray(runs[n](zero))
             return time.perf_counter() - t0
 
-        per = min(
-            (t_of(long) - t_of(short)) / (long - short) for _ in range(3)
-        )
+        # min over repeats PER chain length, then ONE slope: min-of-slopes
+        # can go non-positive under relay jitter (a slow short-chain run)
+        # and biases the time low (ADVICE r4)
+        t_short = min(t_of(short) for _ in range(3))
+        t_long = min(t_of(long) for _ in range(3))
+        per = (t_long - t_short) / (long - short)
+        if per <= 0.0:
+            print(
+                f"{task:9s} block={bk:4d} compile={compile_s:6.1f}s  "
+                f"UNSTABLE slope ({1e3 * per:.2f} ms/call <= 0 under relay "
+                f"jitter)  max|Δcosts|={d:.2e}",
+                flush=True,
+            )
+            continue
         rate = k * horizon / per
         print(
             f"{task:9s} block={bk:4d} compile={compile_s:6.1f}s  "
@@ -100,7 +111,16 @@ def main(task: str, k: int, horizon: int, blocks: list[int]):
 
 if __name__ == "__main__":
     t = sys.argv[1] if len(sys.argv) > 1 else "ant"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else _ENVS[t][1]
-    h = int(sys.argv[3]) if len(sys.argv) > 3 else _ENVS[t][2]
-    blocks = [int(b) for b in sys.argv[4:]] or [128, 256, 512]
+    if t not in _ENVS or t in ("-h", "--help"):
+        print(f"usage: python {sys.argv[0]} {{{','.join(_ENVS)}}} "
+              "[K] [H] [block_k ...]", file=sys.stderr)
+        raise SystemExit(0 if t in ("-h", "--help") else 2)
+    try:
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else _ENVS[t][1]
+        h = int(sys.argv[3]) if len(sys.argv) > 3 else _ENVS[t][2]
+        blocks = [int(b) for b in sys.argv[4:]] or [128, 256, 512]
+    except ValueError as exc:
+        print(f"bad numeric argument: {exc}\nusage: python {sys.argv[0]} "
+              f"{{{','.join(_ENVS)}}} [K] [H] [block_k ...]", file=sys.stderr)
+        raise SystemExit(2)
     main(t, k, h, blocks)

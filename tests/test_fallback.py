@@ -104,6 +104,75 @@ def test_make_policy_propagates_non_kernel_errors(monkeypatch):
         pol.step(env.reset(), pol.init_state(3))
 
 
+def test_jit_with_fused_fallback_bench_path(monkeypatch):
+    """The jit=False callers' helper (bench.py, __graft_entry__): a
+    broken kernel yields a WORKING vmap-backed step labeled via
+    fell_back(), with identical numerics (VERDICT r4 item 5)."""
+    import dataclasses
+
+    from mpopis_tpu.utils.fallback import jit_with_fused_fallback
+
+    env = CarRacingEnv(dtype=jnp.float32, fused_interpret=True)
+    assert env.supports_fused_rollout
+    monkeypatch.setattr(type(env), "fused_rollout_costs_tak", _broken_fused)
+    monkeypatch.setattr(type(env), "fused_rollout_costs", _broken_fused)
+    cfg = PolicyConfig(
+        kind="cemppi", num_samples=16, horizon=5, lam=10.0, opt_its=2,
+        sigma_est="mle",
+    )
+
+    def build(use_fused: bool):
+        cfg_ = dataclasses.replace(cfg, use_fused_rollout=use_fused)
+        pol = make_policy(env, cfg_, cov_mat=np.diag([0.0625, 0.1]),
+                          jit=False)
+
+        def mpc_step(env_state, pol_state):
+            action, pol_state, _ = pol.step(env_state, pol_state)
+            return env.step(env_state, action), pol_state
+
+        return mpc_step
+
+    step = jit_with_fused_fallback(build, label="test")
+    assert not step.fell_back()
+    pol_meta = make_policy(
+        env,
+        dataclasses.replace(cfg, use_fused_rollout=False),
+        cov_mat=np.diag([0.0625, 0.1]),
+        jit=False,
+    )
+    s, ps = env.reset(), pol_meta.init_state(3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s2, ps2 = step(s, ps)
+    assert step.fell_back()
+    assert any("falling back" in str(w.message) for w in rec)
+
+    import jax
+
+    s_ref, ps_ref = jax.jit(build(False))(s, ps)
+    np.testing.assert_allclose(
+        np.asarray(s2.x), np.asarray(s_ref.x), rtol=1e-6, atol=1e-7
+    )
+    # second call stays on the rebuilt step (no re-probe)
+    s3, _ = step(s, ps)
+    assert np.isfinite(np.asarray(s3.x)).all()
+
+
+def test_jit_with_fused_fallback_propagates_user_errors():
+    """Non-kernel errors must propagate, not trigger a rebuild."""
+    from mpopis_tpu.utils.fallback import jit_with_fused_fallback
+
+    def build(use_fused: bool):
+        def f(x):
+            raise ValueError("user error in trace")
+        return f
+
+    step = jit_with_fused_fallback(build)
+    with pytest.raises(ValueError, match="user error"):
+        step(jnp.ones(3))
+    assert not step.fell_back()
+
+
 def test_harness_probe_falls_back(monkeypatch):
     """simulate_* (outer-jit path, jit inside the harness) degrades too."""
     from mpopis_tpu.harness import simulate

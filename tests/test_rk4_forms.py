@@ -57,9 +57,11 @@ def test_rk4_loop_matches_scan_and_unroll_bitwise():
             a, b, err_msg="rk4_mode=loop diverges from scan"
         )
     # unroll: identical arithmetic, but XLA CPU contracts different FMAs
-    # in the inlined emission — allow ~1 ulp (see module docstring).
+    # in the inlined emission — measured diff 3.1e-15 (~14 ulp); rtol is
+    # a few x that so a genuine arithmetic regression in the unroll path
+    # cannot hide under a slack tolerance (ADVICE r4).
     for a, b in zip(outs["scan"], outs["unroll"]):
         np.testing.assert_allclose(
-            a, b, rtol=1e-13, atol=1e-18,
+            a, b, rtol=1e-14, atol=1e-18,
             err_msg="rk4_mode=unroll diverges from scan",
         )

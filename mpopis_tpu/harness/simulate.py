@@ -41,6 +41,54 @@ def _print(enabled: bool, fmt: str, *args) -> None:
         print(fmt % args if args else fmt, flush=True)
 
 
+class _Progress:
+    """Per-trial liveness meter — the reference shows a ProgressMeter bar
+    during every trial (car_example.jl:190,238) and erases it afterwards
+    with ANSI cursor cleanup (:305-311). This analog renders an in-place
+    `\\r` line (bar, step count, rate, ETA), updated at most ~10x/s,
+    only when printing is enabled AND stdout is a real TTY — piped runs,
+    log mirrors, and bench.py capture stay byte-clean."""
+
+    def __init__(self, enabled: bool, trial: int, num_trials: int,
+                 total_steps: int):
+        import sys
+
+        self.on = bool(enabled and sys.stdout.isatty() and total_steps > 0)
+        self.trial = trial
+        self.num_trials = num_trials
+        self.total = total_steps
+        self.t0 = time.perf_counter()
+        self._last = 0.0
+
+    def update(self, step: int) -> None:
+        if not self.on:
+            return
+        now = time.perf_counter()
+        if now - self._last < 0.1 and step < self.total:
+            return
+        self._last = now
+        import sys
+
+        frac = min(step / self.total, 1.0)
+        filled = int(frac * 20)
+        rate = step / max(now - self.t0, 1e-9)
+        eta = (self.total - step) / max(rate, 1e-9)
+        sys.stdout.write(
+            f"\rTrial {self.trial}/{self.num_trials} "
+            f"[{'#' * filled}{'.' * (20 - filled)}] "
+            f"{step}/{self.total} steps  {rate:5.1f}/s  ETA {eta:4.0f}s\x1b[K"
+        )
+        sys.stdout.flush()
+
+    def finish(self) -> None:
+        if not self.on:
+            return
+        import sys
+
+        sys.stdout.write("\r\x1b[K")  # erase the bar (ref :305-311)
+        sys.stdout.flush()
+
+
 def _banner(
     enabled,
     sim_type,
@@ -243,7 +291,9 @@ def _simulate_simple(
         rew, cnt, done = 0.0, 0, False
         acts: list[np.ndarray] = []
         trail: list[np.ndarray] = []  # executed states (plot_traj)
+        prog = _Progress(print_output, k, num_trials, num_steps)
         while not done and cnt <= num_steps:
+            prog.update(cnt)
             if chunk > 1:
                 s, ps, rows_d = fused_chunk(s, ps)
                 for row in np.asarray(rows_d):
@@ -283,6 +333,7 @@ def _simulate_simple(
                     fig = render(env, s)
                 frames.append(plotting.figure_to_array(fig))
                 plotting.close(fig)
+        prog.finish()
         dt = time.perf_counter() - t0
         rews[k - 1] = rew
         steps[k - 1] = cnt - 1
@@ -591,7 +642,9 @@ def simulate_car_racing(
         trk_viol, b_viol, crash_viol = 0, 0, 0
         done = False
 
+        prog = _Progress(print_output, k, n_t, num_steps)
         while not done and cnt <= num_steps:
+            prog.update(cnt)
             if chunk > 1:
                 s, ps, stats_block_d = fused_chunk(s, ps)
                 stats_block = np.asarray(stats_block_d)
@@ -661,6 +714,7 @@ def simulate_car_racing(
                     done = True
                 prev_y = curr_y
 
+        prog.finish()
         dt_s = time.perf_counter() - t0
         rews[k - 1] = rew
         steps[k - 1] = cnt - 1

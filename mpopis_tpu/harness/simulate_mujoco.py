@@ -10,7 +10,7 @@ import time
 
 import numpy as np
 
-from mpopis_tpu.harness.simulate import _banner, _print, _summary_table
+from mpopis_tpu.harness.simulate import _Progress, _banner, _print, _summary_table
 from mpopis_tpu.models.mujoco_host import MujocoBatchedEnv
 from mpopis_tpu.policies.config import PolicyConfig
 from mpopis_tpu.policies.host_driver import make_host_policy
@@ -106,11 +106,14 @@ def simulate_mujoco(
 
         t0 = time.perf_counter()
         rew, cnt = 0.0, 0
+        prog = _Progress(print_output, k, num_trials, num_steps)
         while cnt <= num_steps:
+            prog.update(cnt)
             act, ps, _ = pol.step(ps)
             env.step(act)  # broadcast + record (ref envpool_env.jl:136-151)
             cnt += 1
             rew += float(env.rews[0])
+        prog.finish()
         dt = time.perf_counter() - t0
 
         rews[k - 1] = rew

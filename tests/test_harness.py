@@ -216,3 +216,40 @@ def test_on_device_acts_export_and_replay(tmp_path, monkeypatch):
     total = replay(csvs[0], "HalfCheetah-v4")
     np.testing.assert_allclose(total, metrics["rewards"][0], rtol=1e-6,
                                atol=1e-6)
+
+
+def test_progress_meter_tty_only(monkeypatch, capsys):
+    """The ProgressMeter analog (car_example.jl:190,238,305-311): renders
+    an in-place bar only on a real TTY, erases it on finish, and stays
+    byte-silent when piped (bench.py capture must remain clean)."""
+    import io
+
+    from mpopis_tpu.harness.simulate import _Progress
+
+    # piped stdout (pytest capture): no output at all
+    prog = _Progress(True, 1, 2, 10)
+    prog.update(5)
+    prog.finish()
+    assert capsys.readouterr().out == ""
+
+    # simulated TTY: bar rendered, then erased with \r + ANSI clear
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    fake = Tty()
+    monkeypatch.setattr("sys.stdout", fake)
+    prog = _Progress(True, 1, 2, 10)
+    prog.update(5)
+    prog.finish()
+    out = fake.getvalue()
+    assert "Trial 1/2" in out and "5/10 steps" in out
+    assert out.endswith("\r\x1b[K")
+
+    # disabled printing: silent even on a TTY
+    fake2 = Tty()
+    monkeypatch.setattr("sys.stdout", fake2)
+    prog = _Progress(False, 1, 1, 10)
+    prog.update(3)
+    prog.finish()
+    assert fake2.getvalue() == ""

@@ -50,7 +50,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
-                     actuators, rk4_loop: bool = True):
+                     actuators, rk4_loop: bool = True,
+                     qp_dense: bool = True):
     """(q, qv, acts) -> (q', qv', q_stage4, λ) over one control step;
     λ warm-starts across substeps and RK stages, reset at control-step
     boundaries — identical semantics to the env.step scan (the vmap
@@ -65,7 +66,7 @@ def _spatial_advance(model: SpatialContactModel, frame_skip, outer, cg,
     of live vregs on the 242-row humanoid (spatial_contact.py
     rk4_substep_loop docstring); ignored for Euler models."""
     substep, *_ = build_spatial_stepper(
-        model, rk4_mode="loop" if rk4_loop else "unroll"
+        model, rk4_mode="loop" if rk4_loop else "unroll", qp_dense=qp_dense
     )
     na = len(actuators)
     # Euler substeps return their INPUT q as the stage-4 snapshot
@@ -249,6 +250,7 @@ def _spatial_rollout_impl(
     interpret: bool,
     vmem_limit_mb: int = 0,
     rk4_loop: bool = True,
+    qp_sparse: bool = True,
 ) -> jnp.ndarray:
     k = controls_tak.shape[2]
     na = controls_tak.shape[1]
@@ -288,8 +290,15 @@ def _spatial_rollout_impl(
         ctrl = ctrl.at[:, :, :k].set(controls_tak.astype(jnp.float32))
     state0 = state0_x[:n_state].astype(jnp.float32).reshape(1, -1)
 
+    # The scalar-sparse QP (only the ~45% structurally nonzero J entries
+    # emitted) halves the Mosaic kernel's per-CG-iteration VPU work and
+    # its live J footprint; interpret mode keeps the dense stacked form —
+    # the sparse scalar graph is what made XLA CPU compiles take tens of
+    # minutes (spatial_contact.py module docstring). Cross-form equality
+    # is pinned in tests/test_spatial_kernel.py.
     advance = _spatial_advance(
-        model, frame_skip, outer, cg, actuators, rk4_loop=rk4_loop
+        model, frame_skip, outer, cg, actuators, rk4_loop=rk4_loop,
+        qp_dense=interpret or not qp_sparse,
     )
     kernel = _make_kernel(
         model.n_q, model.n_dof, na, advance, horizon, n_carry, carry_fn,
@@ -337,7 +346,7 @@ def _spatial_rollout_impl(
 _STATIC = (
     "model", "horizon", "frame_skip", "outer", "cg", "actuators",
     "family", "track", "healthy", "fwd_w", "ctrl_w", "block_k",
-    "interpret", "vmem_limit_mb", "rk4_loop",
+    "interpret", "vmem_limit_mb", "rk4_loop", "qp_sparse",
 )
 # The real TPU path compiles through Mosaic (plain jit); interpret mode
 # runs the kernel body as one giant scalar XLA CPU graph, where the
@@ -376,6 +385,7 @@ def spatial_rollout_costs_tak(
     interpret: bool = False,
     vmem_limit_mb: int = 0,
     rk4_loop: bool = True,
+    qp_sparse: bool = True,
 ) -> jnp.ndarray:
     """(K,) trajectory costs Σ_t −reward for the spatial-contact family.
     Semantically identical to rollout_batch over the env's step_reward
@@ -391,5 +401,5 @@ def spatial_rollout_costs_tak(
     return impl(
         model, state0_x, controls_tak, controls_tak.shape[0], frame_skip,
         outer, cg, tuple(actuators), family, track, healthy, fwd_w,
-        ctrl_w, block_k, interpret, vmem_limit_mb, rk4_loop,
+        ctrl_w, block_k, interpret, vmem_limit_mb, rk4_loop, qp_sparse,
     )

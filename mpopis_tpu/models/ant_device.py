@@ -208,8 +208,10 @@ class AntDeviceEnv(Env):
     solver_cg: int = 6
     fused_interpret: bool = False
     # Fused-kernel tile along K and Mosaic scoped-vmem budget (MB, 0 =
-    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py.
-    block_k: int = 512
+    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py;
+    # round-5 sweep: 1024 (full (8,128) vreg tiles) + the scalar-sparse
+    # QP measured 1.10M env-steps/s vs 254k at 512/dense.
+    block_k: int = 1024
     vmem_limit_mb: int = 0
 
     state_dim = 30

@@ -231,8 +231,10 @@ class PusherDeviceEnv(Env):
     solver_outer: int = 3
     solver_cg: int = 6
     # Fused-kernel tile along K and Mosaic scoped-vmem budget (MB, 0 =
-    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py.
-    block_k: int = 512
+    # XLA default). Sweepable on-chip via scripts/sweep_block_k.py;
+    # round-5 sweep: 1024 (full (8,128) vreg tiles) measured 24.1M
+    # env-steps/s vs 6.1M at 512.
+    block_k: int = 1024
     vmem_limit_mb: int = 0
     fused_interpret: bool = False
 

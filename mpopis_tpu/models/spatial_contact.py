@@ -73,7 +73,7 @@ from mpopis_tpu.models.planar import (
     chol_unrolled,
     impedance,
 )
-from mpopis_tpu.models.planar_contact import solve_qp_dense
+from mpopis_tpu.models.planar_contact import solve_qp, solve_qp_dense
 
 
 # --- static-constant-aware scalar arithmetic -------------------------------
@@ -275,12 +275,13 @@ class SCPairCylinder:
     arm-object interaction. Valid when body2's kinematic chain has no
     rotational dofs (the cylinder axis stays world-z; asserted by the
     probe script). MuJoCo routes this geom pair through its convex
-    (libccd MPR) collider; the analytic treatment here takes the closest
-    point of the capsule segment to the cylinder AXIS segment and
-    measures point-vs-solid-cylinder from it (side / cap / rim regions)
-    — matching MPR in the side region (a swept-sphere vs lateral-surface
-    contact, the pushing configuration; MPR itself carries a ~1e-6
-    tolerance), approximate near the rim/caps."""
+    (native CCD / GJK) collider; the analytic treatment here finds the
+    EXACT witness pair — the capsule-axis point minimizing the convex
+    point-to-solid-cylinder distance over the segment (bisection on the
+    distance derivative, `_capsule_cylinder`) — i.e. the optimum GJK
+    iterates toward, across the side, cap AND rim regions. Probed vs
+    mujoco 3.10 on contact-rich pushing states: dist to 6e-11, normals
+    to mujoco's own ~4e-5 GJK residual."""
 
     body1: int
     a1: tuple[float, float, float]  # capsule segment ends, body1 frame
@@ -924,42 +925,64 @@ def _capsule_capsule(model: SpatialContactModel, fr: Frames,
 def _capsule_cylinder(model: SpatialContactModel, fr: Frames,
                       pair: SCPairCylinder):
     """Analytic capsule-vs-upright-cylinder contact: returns
-    (dist, normal body1→body2, contact point). See SCPairCylinder."""
+    (dist, normal body1→body2, contact point). See SCPairCylinder.
+
+    The capsule-axis point is the EXACT minimizer of the point-to-solid-
+    cylinder distance f(s) over the segment: distance-to-a-convex-set is
+    convex along a line, so its derivative u(p(s))·d (u = outward unit
+    direction at the witness point) is monotone and a fixed-iteration
+    bisection on its sign converges to the true witness pair — the same
+    answer MuJoCo's native CCD (GJK) iterates to at ~1e-6 tolerance.
+    The previous closest-point-to-the-AXIS-segment choice agreed only on
+    side contacts and was ~5e-4 wrong on RIM contacts (19% of the pair
+    contacts in the probe episode, normals off by 0.19) — probed against
+    mujoco 3.10 on the test_pusher_device pushing episode: the bisected
+    minimizer matches nativeccd's dist/normal/pos to its own GJK
+    residual (~1e-6). Valid while the segment stays outside the solid
+    cylinder (penetration < capsule radius — always, here): inside,
+    f would stop being a distance-to-set along the whole segment."""
     o1, r1m = fr.origin[pair.body1], fr.rot[pair.body1]
     a = _vadd(o1, _rvec(r1m, pair.a1))
     b = _vadd(o1, _rvec(r1m, pair.b1))
     c = _vadd(fr.origin[pair.body2],
               _rvec(fr.rot[pair.body2], pair.center2))
     hh, r2 = pair.hh2, pair.r2
-    # closest points between the capsule segment ab and the cylinder
-    # AXIS segment c ± hh·ẑ (Ericson, branchless — the 3D sibling of the
-    # planar pair collider; the axis stays world-z because body2's chain
-    # has no rotational dofs)
     d1 = _vsub(b, a)
-    p2a = (c[0], c[1], c[2] - hh)
-    rvec = _vsub(a, p2a)
-    la = _dot3(d1, d1)
-    le = 4.0 * hh * hh
-    lf = 2.0 * hh * rvec[2]
-    lc = _dot3(d1, rvec)
-    lb = 2.0 * hh * d1[2]
-    denom = la * le - lb * lb
-    s1 = jnp.where(
-        denom > 1e-12 * la * le,
-        jnp.clip((lb * lf - lc * le) / jnp.maximum(denom, 1e-30), 0.0, 1.0),
-        0.0,
-    )
-    t_raw = (lb * s1 + lf) / le
-    s1 = jnp.where(
-        t_raw < 0.0,
-        jnp.clip(-lc / jnp.maximum(la, 1e-30), 0.0, 1.0),
-        jnp.where(
-            t_raw > 1.0,
-            jnp.clip((lb - lc) / jnp.maximum(la, 1e-30), 0.0, 1.0),
-            s1,
-        ),
-    )
-    p1 = _vadd(a, _vscale(s1, d1))  # closest capsule-axis point
+
+    def dderiv(s):
+        """u(p(s))·d — sign of df/ds at s (outside witness direction;
+        inside the solid, the max(er, ez) subgradient)."""
+        px = a[0] + s * d1[0] - c[0]
+        py = a[1] + s * d1[1] - c[1]
+        pz = a[2] + s * d1[2] - c[2]
+        dr = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-24))
+        er = dr - r2
+        ez = jnp.abs(pz) - hh
+        zsign = jnp.where(pz >= 0.0, 1.0, -1.0)
+        inside = (er < 0.0) & (ez < 0.0)
+        erp = jnp.maximum(er, 0.0)
+        ezp = jnp.maximum(ez, 0.0)
+        d_out = jnp.sqrt(jnp.maximum(erp * erp + ezp * ezp, 1e-24))
+        use_radial = er > ez
+        ux = jnp.where(inside, jnp.where(use_radial, px / dr, 0.0),
+                       erp * px / (dr * d_out))
+        uy = jnp.where(inside, jnp.where(use_radial, py / dr, 0.0),
+                       erp * py / (dr * d_out))
+        uz = jnp.where(inside, jnp.where(use_radial, 0.0, zsign),
+                       ezp * zsign / d_out)
+        return ux * d1[0] + uy * d1[1] + uz * d1[2]
+
+    lo = jnp.zeros_like(a[0])
+    hi = jnp.ones_like(a[0])
+    # 40 halvings: |hi-lo| ~ 1e-12 — below the f64 GJK comparison
+    # tolerance and far below f32 resolution on the TPU path
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        going_down = dderiv(mid) < 0.0
+        lo = jnp.where(going_down, mid, lo)
+        hi = jnp.where(going_down, hi, mid)
+    s1 = 0.5 * (lo + hi)
+    p1 = _vadd(a, _vscale(s1, d1))  # true witness point on the capsule axis
     # point-vs-solid-cylinder from p1 (side / cap / rim regions)
     dx = p1[0] - c[0]
     dy = p1[1] - c[1]
@@ -1045,7 +1068,8 @@ def integrate_pos(model: SpatialContactModel, q, v, h):
 
 def build_spatial_stepper(model: SpatialContactModel,
                           unroll_rk4: bool = False,
-                          rk4_mode: str | None = None):
+                          rk4_mode: str | None = None,
+                          qp_dense: bool = True):
     """Build (substep, mass_entries, bias, qfrc_smooth, qacc) for the
     model — the spatial sibling of planar_contact.build_contact_stepper.
     substep(q, qv, tau, outer, cg, lam0) advances ONE physics timestep;
@@ -1060,9 +1084,21 @@ def build_spatial_stepper(model: SpatialContactModel,
       (~36 MB on the 242-row humanoid at block 128).
     - "loop": lax.fori_loop with scalar-select coefficients —
       Mosaic-safe AND 1× qacc live window; the kernel form for big
-      models. `unroll_rk4=True` is the legacy spelling of "unroll"."""
+      models. `unroll_rk4=True` is the legacy spelling of "unroll".
+
+    QP forms (same _qp_iterate core, same optimum):
+    - qp_dense=True: the stacked-J solve (solve_qp_dense) — few big
+      array ops, the fast-XLA-CPU-compile form the vmap path needs
+      (scalar-sparse at 108 rows × 14 dofs made CPU compiles take tens
+      of minutes).
+    - qp_dense=False: the scalar-sparse solve (solve_qp) — unrolls only
+      the structurally nonzero J entries (~45% on the spatial models),
+      halving the per-CG-iteration VPU instruction count and the live
+      J footprint inside the Mosaic kernel (kernels/spatial_step.py
+      uses this on the real-TPU path)."""
     if rk4_mode is None:
         rk4_mode = "unroll" if unroll_rk4 else "scan"
+    solve = solve_qp_dense if qp_dense else solve_qp
     n = model.n_dof
 
     def mass_entries(q, fr=None):
@@ -1093,7 +1129,7 @@ def build_spatial_stepper(model: SpatialContactModel,
         a_smooth = chol_solve_unrolled(l, smooth, n)
         zero = jnp.zeros_like(q[0])
         rows = contact_rows(model, q, qv, zero, fr)
-        qfrc_c, lam = solve_qp_dense(
+        qfrc_c, lam = solve(
             rows, zero, l, a_smooth, outer, cg, n, lam0=lam0,
             return_lam=True,
         )
@@ -1116,7 +1152,7 @@ def build_spatial_stepper(model: SpatialContactModel,
         a_smooth = chol_solve_unrolled(l, smooth, n)
         zero = jnp.zeros_like(q[0])
         rows = contact_rows(model, q, qv, zero, fr)
-        qfrc_c, lam = solve_qp_dense(
+        qfrc_c, lam = solve(
             rows, zero, l, a_smooth, outer, cg, n, lam0=lam0,
             return_lam=True,
         )

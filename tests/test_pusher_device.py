@@ -8,12 +8,20 @@ which also makes the object nearly immovable under v4's tiny
 density-1e-5 cylinder — R ≈ 4e6 on the pair rows), so the obs/reward
 cross-check runs against the host engine instead of gymnasium.
 
-The arm-object capsule-cylinder contact is analytic (single swept-sphere
-point) while mujoco's native CCD emits a multi-point manifold of 1-5
-near-duplicate points with unpredictable multiplicity; the resulting
-forces are ~1e-6 (see above), so trajectories agree to ~5e-7 through
-contact-rich pushing episodes and to machine precision elsewhere —
-asserted below at those tolerances.
+The arm-object capsule-cylinder contact is analytic and EXACT: the
+capsule-axis witness point is the true minimizer of the point-to-solid-
+cylinder distance over the segment (bisection on the convex distance's
+derivative — spatial_contact._capsule_cylinder), which is the optimum
+MuJoCo's native CCD (GJK) iterates toward. Probed over this module's
+pushing episode on mujoco 3.10: dist agrees to 6e-11, position to 6e-7,
+normal to 4e-5 — the residual is mujoco's OWN GJK convergence
+tolerance, not model error. (The pre-round-5 code used the closest
+point to the cylinder AXIS segment instead, which was ~5e-4 wrong on
+rim contacts — 19% of the episode's contacts — and the old "multi-point
+CCD manifold" explanation was a misdiagnosis: the episode's pair
+contacts are single-point throughout.) Trajectories through the
+contact-rich pushing episode now track mj_step to ~1e-10, the same
+exactness grade as the planar tasks.
 """
 
 import numpy as np
@@ -181,9 +189,9 @@ def test_trajectory_matches_mj_step():
 
 def test_pushing_episode_tracks_mj_step():
     """A contact-rich pushing episode (fingertips repeatedly touching
-    the object cylinder): the analytic single-point pair contact tracks
-    mujoco's multi-point CCD manifold to ~1e-6 (forces are ~1e-6, see
-    module docstring)."""
+    the object cylinder): the exact-witness pair contact (see module
+    docstring) tracks mj_step to ~1e-10 — measured max 1.4e-10 over the
+    40 steps; asserted at 1e-9 for headroom."""
     m, d = _mj()
     qp0 = np.zeros(11)
     qp0[:7] = [1.34114189, 1.05089310, 0.22015290, -1.70443648,
@@ -218,7 +226,7 @@ def test_pushing_episode_tracks_mj_step():
         s = step(s, jnp.asarray(a))
         np.testing.assert_allclose(np.asarray(s.x[:22]),
                                    np.concatenate([d.qpos, d.qvel]),
-                                   atol=2e-5)
+                                   atol=1e-9)
     assert pair_contacts >= 10  # the episode genuinely touches the object
 
 

@@ -341,8 +341,11 @@ _KERNEL_TASKS = {
     "swimmer": ("SwimmerDeviceEnv", 4096, 25, (3, 13)),
     "ant": ("AntDeviceEnv", 1024, 10, (3, 13)),
     "pusher": ("PusherDeviceEnv", 1024, 10, (3, 13)),
-    "humanoid": ("HumanoidDeviceEnv", 512, 8, (3, 13)),
-    "standup": ("HumanoidStandupDeviceEnv", 512, 8, (3, 13)),
+    # K=1024 fills the round-5 block_k=1024 tiles ((8,128) vregs); the
+    # r1-r4 512-sample configs ran the kernels at half/eighth sublane
+    # utilization
+    "humanoid": ("HumanoidDeviceEnv", 1024, 8, (3, 13)),
+    "standup": ("HumanoidStandupDeviceEnv", 1024, 8, (3, 13)),
 }
 # End-to-end contact configs: (env, K, H, opt_its, lam, cov). All route
 # through their fused kernels on TPU (supports_fused_rollout), with the
@@ -352,8 +355,8 @@ _E2E_TASKS = {
     "swimmer": ("SwimmerDeviceEnv", 4096, 25, 3, 0.1, 0.25),
     "ant": ("AntDeviceEnv", 1024, 10, 2, 1.0, 0.25),
     "pusher": ("PusherDeviceEnv", 1024, 10, 2, 0.1, 0.25),
-    "humanoid": ("HumanoidDeviceEnv", 512, 8, 2, 1.0, 0.25),
-    "standup": ("HumanoidStandupDeviceEnv", 512, 8, 2, 0.3, 0.25),
+    "humanoid": ("HumanoidDeviceEnv", 1024, 8, 2, 1.0, 0.25),
+    "standup": ("HumanoidStandupDeviceEnv", 1024, 8, 2, 0.3, 0.25),
 }
 
 

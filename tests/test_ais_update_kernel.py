@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # retired opt-in kernels; interpret-mode equality is expensive
+
 from mpopis_tpu.kernels.ais_update import (
     cma_update_chol,
     masked_refit_chol,

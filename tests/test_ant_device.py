@@ -147,6 +147,7 @@ def test_constrained_qacc_matches_mj_forward():
     assert checked >= 6  # the states genuinely load contacts
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """Frame-skipped steps of random full-range actions from the gym
     init (ankle limits violated at t=0, drop, impact): the on-device

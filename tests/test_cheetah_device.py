@@ -91,6 +91,7 @@ def test_mass_matrix_and_contact_qacc_match_mj_forward():
         np.testing.assert_allclose(acc / scale, d.qacc / scale, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """60 frame-skipped steps of random full-range actions (drop, impact,
     scrambling — contacts and limits constantly active): the on-device

@@ -79,6 +79,7 @@ def test_mass_matrix_and_contact_qacc_match_mj_forward():
     assert hit_contact >= 2  # the sweep must actually exercise contacts
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """100 frame-skipped random-action steps (drop, hop, crumple — floor
     contacts, the torso↔foot capsule-capsule self-contact at ~step 71,

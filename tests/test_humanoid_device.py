@@ -15,7 +15,8 @@ which matches MuJoCo's NEWTON solver on the same model to ~3e-14. The
 exactness pins below therefore run mj_forward/mj_step with
 opt.solver=Newton (same physics model and constraint data — only the
 numerical QP method differs); the PGS-50 residual is the documented gap
-to gym's stock binary (same grade as the Pusher CCD-manifold note).
+to gym's stock binary (an under-converged solver cannot be matched
+without replicating its iteration path).
 """
 
 import numpy as np
@@ -169,10 +170,15 @@ def test_constrained_qacc_matches_mj_forward_newton():
     assert ncon >= 10 and nself >= 4  # genuinely contact/self-contact rich
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step_newton():
     """Frame-skipped steps of random full-range actions from the gym
     standing init (fall + impact): the on-device trajectory tracks the
-    Newton-solver mj_step like the other spatial suites."""
+    Newton-solver mj_step at MACHINE precision — measured max relative
+    error 2.1e-14 over the 15 steps at (6, 40), unchanged at (12, 120)
+    (round-5 sweep; the earlier rtol=3e-5 was a stale conservative bound
+    from before the solver-convergence work, not the actual error).
+    Asserted at rtol=1e-12 — the planar suites' exactness grade."""
     m, d = _mj(newton=True)
     mujoco.mj_resetData(m, d)
     env = HumanoidDeviceEnv(dtype=jnp.float64, solver_outer=6, solver_cg=40)
@@ -186,7 +192,7 @@ def test_trajectory_matches_mj_step_newton():
             mujoco.mj_step(m, d)
         s = step(s, jnp.asarray(a))
         np.testing.assert_allclose(
-            np.asarray(s.x[:24]), d.qpos, rtol=3e-5, atol=3e-6
+            np.asarray(s.x[:24]), d.qpos, rtol=1e-12, atol=1e-13
         )
     # stage-4 com x quirk: matches gym's mass_center over data.xipos
     num = np.einsum("b,bj->j", m.body_mass, d.xipos) / m.body_mass.sum()

@@ -135,6 +135,7 @@ def test_fk_mass_bias_match_mj_forward():
         np.testing.assert_allclose(np.asarray(b), d.qfrc_bias, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_cfrc_ext_ssq_matches_mj():
     """contact_force_ssq reconstructs Σ‖data.cfrc_ext‖² from the QP's λ
     at mj_forward states (Newton-converged so both solvers agree on
@@ -185,6 +186,7 @@ def test_cfrc_ext_ssq_matches_mj():
     assert checked >= 2  # genuinely nonzero contact forces were compared
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step_newton():
     """Frame-skipped steps of random full-range actions from the supine
     init: the on-device trajectory tracks the Newton-solver mj_step,
@@ -203,12 +205,16 @@ def test_trajectory_matches_mj_step_newton():
         for _ in range(hd._FRAME_SKIP):
             mujoco.mj_step(m, d)
         s = step(s, jnp.asarray(a))
+        # measured max relative error 1.0e-14 over the 15 steps (round-5
+        # sweep; the earlier rtol=3e-5 was a stale conservative bound) —
+        # asserted at the planar suites' exactness grade
         np.testing.assert_allclose(
-            np.asarray(s.x[:24]), d.qpos, rtol=3e-5, atol=3e-6
+            np.asarray(s.x[:24]), d.qpos, rtol=1e-12, atol=1e-13
         )
     mujoco.mj_rnePostConstraint(m, d)
+    # stage-4 cfrc_ext reconstruction: measured 1.1e-14 relative
     np.testing.assert_allclose(
-        float(s.x[47]), (d.cfrc_ext ** 2).sum(), rtol=1e-4
+        float(s.x[47]), (d.cfrc_ext ** 2).sum(), rtol=1e-12
     )
 
 

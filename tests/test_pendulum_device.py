@@ -49,6 +49,7 @@ def test_constants_match_mjmodel():
         ("inverted_double_pendulum.xml", InvertedDoublePendulumDeviceEnv, 3, 5),
     ],
 )
+@pytest.mark.slow
 def test_trajectory_matches_mj_step(name, env_cls, nq, skip):
     """150 frame-skipped steps under full-range random forces (slide and
     hinge limits are hit) stay machine-exact vs mj_step."""

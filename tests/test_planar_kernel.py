@@ -56,6 +56,7 @@ def test_analytic_mass_bias_match_ad(mod):
     "cls", [CheetahDeviceEnv, HopperDeviceEnv, Walker2dDeviceEnv],
     ids=["cheetah", "hopper", "walker2d"],
 )
+@pytest.mark.slow
 def test_fused_rollout_matches_vmap_oracle(cls):
     """Interpret-mode kernel == rollout_batch over env.step_reward (f32)."""
     env = cls(dtype=jnp.float32, fused_interpret=True,
@@ -75,6 +76,7 @@ def test_fused_rollout_matches_vmap_oracle(cls):
     )
 
 
+@pytest.mark.slow
 def test_fused_rollout_nonzero_contacts():
     """A dropping cheetah hits the floor within the horizon: the kernel's
     contact path must produce finite, oracle-matching costs (not just the
@@ -98,6 +100,7 @@ def test_fused_rollout_nonzero_contacts():
     )
 
 
+@pytest.mark.slow
 def test_swimmer_fused_rollout_matches_vmap_oracle():
     """The generic kernel builder also covers the swimmer (ANALYTIC
     chain dynamics — swimmer_device._rk4_analytic — traced inside the

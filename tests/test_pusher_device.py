@@ -140,8 +140,8 @@ def test_constrained_qacc_matches_mj_forward():
             float(_capsule_cylinder(pu.MODEL, fr, p)[0])
             for p in pu.MODEL.pairs
         ]
-        if min(dists) < 0.02:  # near/in pair contact: multi-point CCD
-            continue  # manifold regime, covered by the episode test
+        if min(dists) < 0.02:  # near/in pair contact: covered by the
+            continue  # contact-rich episode test below
         n += 1
         ctrl = rng.uniform(-2, 2, 7)
         d.qpos[:] = qp
@@ -162,6 +162,7 @@ def test_constrained_qacc_matches_mj_forward():
     assert checked >= 4  # genuinely loaded (incl. the inert table rows)
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """120 frame-skipped control steps of random torques from the gym
     init: mj_step-exact while the fingertips stay off the object (the
@@ -187,6 +188,7 @@ def test_trajectory_matches_mj_step():
         np.testing.assert_allclose(np.asarray(s.x[22:]), xp, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pushing_episode_tracks_mj_step():
     """A contact-rich pushing episode (fingertips repeatedly touching
     the object cylinder): the exact-witness pair contact (see module

@@ -46,6 +46,7 @@ def test_constants_match_mjmodel():
     np.testing.assert_allclose(i2, rd._I2, rtol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scale,steps", [(0.5, 60), (1.0, 120)])
 def test_trajectory_matches_mj_step(scale, steps):
     """Frame-skipped trajectories match mj_step exactly — including when

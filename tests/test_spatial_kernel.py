@@ -46,6 +46,7 @@ def _kernel_vs_oracle(env, k, t, seed, atol, drop=None):
     )
 
 
+@pytest.mark.slow
 def test_ant_fused_rollout_matches_vmap_oracle():
     """Interpret-mode kernel == rollout_batch over env.step_reward (f32).
 
@@ -58,6 +59,7 @@ def test_ant_fused_rollout_matches_vmap_oracle():
     _kernel_vs_oracle(env, k=5, t=2, seed=3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ant_fused_rollout_grounded():
     """Torso dropped to z=0.3: leg spheres start in deep floor contact —
     the in-kernel 3D-cone QP path must match the oracle, not just the
@@ -67,6 +69,7 @@ def test_ant_fused_rollout_grounded():
     _kernel_vs_oracle(env, k=4, t=2, seed=11, atol=2e-3, drop=-0.45)
 
 
+@pytest.mark.slow
 def test_pusher_fused_rollout_matches_vmap_oracle():
     """The 'pusher' reward family: the kernel carries the 9-entry stale
     xpos snapshot (tips/object/goal) and reads the PREVIOUS step's
@@ -101,6 +104,7 @@ def test_standup_fused_rollout_matches_vmap_oracle():
     _kernel_vs_oracle(env, k=3, t=1, seed=13, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_qp_sparse_matches_dense_substep():
     """qp_dense=False — the Mosaic kernel's scalar-sparse QP
     (spatial_step.py real-TPU path) — shares _qp_iterate with the

@@ -67,6 +67,7 @@ def test_mass_matrix_and_qacc_match_mj_forward():
         np.testing.assert_allclose(mine_a, d.qacc, rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """120 frame-skipped steps under full-scale random actions (limits are
     regularly hit) stay machine-exact vs mj_step."""

@@ -69,6 +69,7 @@ def test_contact_qacc_matches_mj_forward():
     assert hit_contact >= 2
 
 
+@pytest.mark.slow
 def test_trajectory_matches_mj_step():
     """90 frame-skipped random-action steps (falls flat, deep two-contact
     foot states, joint limits — the regime that exposed active-set

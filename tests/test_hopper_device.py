@@ -120,6 +120,7 @@ def test_obs_and_reward_match_gymnasium():
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_policy_hops_forward():
     """CEMPPI makes the on-device hopper move forward."""
     from mpopis_tpu.policies import PolicyConfig, make_policy

@@ -224,10 +224,18 @@ def test_obs_and_reward_match_gymnasium_newton():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_policy_keeps_torso_up():
     """CEMPPI on the on-device Humanoid slows the fall dramatically vs
     zero-action (the healthy-bonus objective through the full MPC loop;
-    a tiny-K smoke test, not a trained controller)."""
+    a tiny-K smoke test, not a trained controller).
+
+    The policy step and the env step are jitted SEPARATELY: fusing the
+    vmapped rollout and the scalar substep of a 242-row model into one
+    XLA:CPU module makes LLVM blow up (segfault at any K/H — probed on
+    r4 and r5 code alike; the split modules each compile in minutes).
+    TPU compiles of the fused form are fine. Marked slow: the two CPU
+    compiles take ~10 min cold on the 1-core box."""
     from mpopis_tpu.policies import PolicyConfig, make_policy
 
     env = HumanoidDeviceEnv(dtype=jnp.float64, solver_outer=3, solver_cg=6)
@@ -235,14 +243,13 @@ def test_policy_keeps_torso_up():
                        opt_its=2, sigma_est="mle")
     pol = make_policy(env, cfg, cov_mat=[0.04] * 17, jit=False)
 
-    @fast_jit
-    def mpc(s, ps):
-        a, ps2, _ = pol.step(s, ps)
-        return env.step(s, a), ps2
+    pol_step = fast_jit(lambda s, ps: pol.step(s, ps)[:2])
+    step = fast_jit(env.step)
 
     s, ps = env.reset(), pol.init_state(1)
     for _ in range(6):
-        s, ps = mpc(s, ps)
+        a, ps = pol_step(s, ps)
+        s = step(s, a)
     z_mpc = float(s.x[2])
 
     step = fast_jit(env.step)

@@ -218,6 +218,7 @@ def test_trajectory_matches_mj_step_newton():
     )
 
 
+@pytest.mark.slow
 def test_obs_and_reward_match_gymnasium_newton():
     """Obs (kinematic prefix) and the full reward (uph − ctrl − impact
     + 1) vs the gym env with the solver switched to Newton."""
@@ -249,10 +250,16 @@ def test_obs_and_reward_match_gymnasium_newton():
     assert saw_impact  # the impact term was genuinely exercised
 
 
+@pytest.mark.slow
 def test_policy_raises_torso():
     """CEMPPI on the on-device HumanoidStandup raises the torso above
     the zero-action floor-writhe (the uph objective through the full
-    MPC loop; a tiny-K smoke test, not a trained controller)."""
+    MPC loop; a tiny-K smoke test, not a trained controller).
+
+    Policy and env steps jitted separately — see
+    test_humanoid_device.test_policy_keeps_torso_up (the fused 242-row
+    module breaks XLA:CPU's LLVM backend); marked slow for the same
+    compile-cost reason."""
     from mpopis_tpu.policies import PolicyConfig, make_policy
 
     env = HumanoidStandupDeviceEnv(
@@ -262,17 +269,14 @@ def test_policy_raises_torso():
                        opt_its=2, sigma_est="mle")
     pol = make_policy(env, cfg, cov_mat=[0.04] * 17, jit=False)
 
-    @fast_jit
-    def mpc(s, ps):
-        a, ps2, _ = pol.step(s, ps)
-        return env.step(s, a), ps2
+    pol_step = fast_jit(lambda s, ps: pol.step(s, ps)[:2])
+    step = fast_jit(env.step)
 
     s, ps = env.reset(), pol.init_state(1)
     for _ in range(6):
-        s, ps = mpc(s, ps)
+        a, ps = pol_step(s, ps)
+        s = step(s, a)
     z_mpc = float(s.x[2])
-
-    step = fast_jit(env.step)
     s0 = env.reset()
     for _ in range(6):
         s0 = step(s0, jnp.zeros(17))

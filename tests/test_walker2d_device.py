@@ -44,6 +44,7 @@ def test_constants_match_mjmodel():
     assert m.opt.integrator == 1  # RK4
 
 
+@pytest.mark.slow
 def test_contact_qacc_matches_mj_forward():
     """Constrained forward dynamics on multi-contact states matches
     mj_forward at machine precision."""
@@ -92,6 +93,7 @@ def test_trajectory_matches_mj_step():
         )
 
 
+@pytest.mark.slow
 def test_obs_and_reward_match_gymnasium():
     g = gymnasium.make("Walker2d-v4", reset_noise_scale=0.0).unwrapped
     g.reset(seed=0)
